@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+import jax
+import jax.numpy as jnp
+
+from relation_detr_tpu.ops.hungarian import hungarian_assignment
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("shape", [(5, 12), (1, 4), (16, 16), (30, 100)])
+def test_matches_scipy_optimal_cost(seed, shape):
+    rng = np.random.RandomState(seed)
+    n, m = shape
+    cost = rng.randn(n, m).astype(np.float32) * 10
+    col4row = np.asarray(
+        hungarian_assignment(jnp.asarray(cost), jnp.ones((n,), bool))
+    )
+    # assignment validity
+    assert (col4row >= 0).all()
+    assert len(set(col4row.tolist())) == n
+    ours_cost = cost[np.arange(n), col4row].sum()
+    ri, ci = linear_sum_assignment(cost)
+    ref_cost = cost[ri, ci].sum()
+    np.testing.assert_allclose(ours_cost, ref_cost, rtol=1e-5, atol=1e-4)
+
+
+def test_padded_rows_do_not_disturb_real_rows():
+    rng = np.random.RandomState(0)
+    real, pad, m = 6, 10, 20
+    cost_real = rng.randn(real, m).astype(np.float32)
+    cost = np.zeros((real + pad, m), np.float32)
+    cost[:real] = cost_real
+    mask = np.zeros((real + pad,), bool)
+    mask[:real] = True
+    col4row = np.asarray(hungarian_assignment(jnp.asarray(cost), jnp.asarray(mask)))
+    assert (col4row[real:] == -1).all()
+    ours_cost = cost_real[np.arange(real), col4row[:real]].sum()
+    ri, ci = linear_sum_assignment(cost_real)
+    np.testing.assert_allclose(ours_cost, cost_real[ri, ci].sum(), rtol=1e-5, atol=1e-4)
+
+
+def test_vmaps_over_batch():
+    rng = np.random.RandomState(1)
+    cost = rng.randn(3, 4, 9).astype(np.float32)
+    mask = np.ones((3, 4), bool)
+    mask[1, 2:] = False
+    out = np.asarray(
+        jax.vmap(hungarian_assignment)(jnp.asarray(cost), jnp.asarray(mask))
+    )
+    for b in range(3):
+        nb = int(mask[b].sum())
+        ri, ci = linear_sum_assignment(cost[b, : nb])
+        ours = cost[b][np.arange(nb), out[b, :nb]].sum()
+        np.testing.assert_allclose(ours, cost[b][ri, ci].sum(), rtol=1e-5, atol=1e-4)
+
+
+def test_jit_compiles():
+    cost = jnp.asarray(np.random.RandomState(2).randn(8, 30).astype(np.float32))
+    f = jax.jit(hungarian_assignment)
+    out = f(cost, jnp.ones((8,), bool))
+    assert out.shape == (8,)
