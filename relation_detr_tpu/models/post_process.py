@@ -1,0 +1,40 @@
+"""Detection post-processing: flat top-k over (queries x classes).
+
+Spec: /root/reference/models/bricks/post_process.py:8-74. Fully jittable;
+NMS / confidence filtering are optional mask-based steps (results keep static
+shape with a validity mask instead of ragged lists).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from relation_detr_tpu.ops.boxes import box_cxcywh_to_xyxy
+
+
+def post_process(
+    pred_logits: jnp.ndarray,  # (B, Q, K)
+    pred_boxes: jnp.ndarray,  # (B, Q, 4) normalized cxcywh
+    target_sizes: jnp.ndarray,  # (B, 2) original (h, w)
+    select_box_nums_for_evaluation: int = 300,
+    confidence_score: float = -1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Returns dict of (B, N) scores/labels, (B, N, 4) xyxy boxes, (B, N) valid."""
+    bs, num_queries, num_classes = pred_logits.shape
+    prob = jax.nn.sigmoid(pred_logits).reshape(bs, -1)
+    scores, topk_indexes = jax.lax.top_k(prob, select_box_nums_for_evaluation)
+    topk_boxes = topk_indexes // num_classes
+    labels = topk_indexes % num_classes
+    boxes = box_cxcywh_to_xyxy(pred_boxes)
+    boxes = jnp.take_along_axis(boxes, topk_boxes[..., None], axis=1)
+
+    img_h, img_w = target_sizes[:, 0], target_sizes[:, 1]
+    scale = jnp.stack([img_w, img_h, img_w, img_h], axis=1)[:, None, :]
+    boxes = boxes * scale
+
+    valid = jnp.ones_like(scores, bool)
+    if confidence_score > 0:
+        valid = valid & (scores > confidence_score)
+    return {"scores": scores, "labels": labels, "boxes": boxes, "valid": valid}

@@ -1,0 +1,455 @@
+"""Relation-DETR transformer stack (encoder, decoder, two-stage + hybrid).
+
+Spec: /root/reference/models/bricks/relation_transformer.py and
+/root/reference/models/bricks/base_transformer.py:101-124. Design differences
+from the reference are TPU-driven, not behavioral:
+
+- spatial shapes are static tuples; every gather/top-k has a fixed shape.
+- the CDN attention mask arrives as an additive float bias (B|1, 1|H, Q, Q)
+  with -inf for blocked pairs; the position-relation bias is merged into it
+  rather than materializing bool masks.
+- dropout in the shipped configs is 0.0
+  (/root/reference/configs/relation_detr/relation_detr_resnet50_800_1333.py:51),
+  so layers are written dropout-free.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from relation_detr_tpu.models import base_transformer as bt
+from relation_detr_tpu.models.attention import (
+    MultiheadAttention,
+    MultiScaleDeformableAttention,
+)
+from relation_detr_tpu.models.layers import (
+    MLP,
+    prior_prob_bias_init,
+    with_pos_embed,
+    xavier_uniform,
+    zeros_init,
+)
+from relation_detr_tpu.models.position_encoding import get_sine_pos_embed
+from relation_detr_tpu.models.relation import PositionRelationEmbedding
+from relation_detr_tpu.ops.boxes import inverse_sigmoid
+
+NEG_INF = -1e9  # finite -inf stand-in: keeps softmax rows with all-blocked keys NaN-free
+
+
+class TransformerEncoderLayer(nn.Module):
+    """MSDA self-attention + FFN (pre-add + LayerNorm).
+
+    Spec: /root/reference/models/bricks/relation_transformer.py:208-276.
+    """
+
+    embed_dim: int = 256
+    d_ffn: int = 2048
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, query_pos, reference_points, spatial_shapes, key_padding_mask):
+        attn = MultiScaleDeformableAttention(
+            self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="self_attn"
+        )(
+            query=with_pos_embed(query, query_pos),
+            reference_points=reference_points,
+            value=query,
+            spatial_shapes=spatial_shapes,
+            key_padding_mask=key_padding_mask,
+        )
+        query = nn.LayerNorm(name="norm1")(query + attn)
+        ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(query)
+        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(nn.relu(ffn))
+        return nn.LayerNorm(name="norm2")(query + ffn)
+
+
+class RelationTransformerEncoder(nn.Module):
+    """Encoder with memory fusion over all layer outputs.
+
+    Spec: /root/reference/models/bricks/relation_transformer.py:162-205.
+    """
+
+    embed_dim: int = 256
+    d_ffn: int = 2048
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_layers: int = 6
+    memory_fusion: bool = True  # False => plain DINO encoder (dino_transformer.py:117-151)
+
+    @nn.compact
+    def __call__(self, query, query_pos, reference_points, spatial_shapes, key_padding_mask):
+        states = [query]
+        for i in range(self.num_layers):
+            query = TransformerEncoderLayer(
+                self.embed_dim,
+                self.d_ffn,
+                self.num_heads,
+                self.num_levels,
+                self.num_points,
+                name=f"layers_{i}",
+            )(query, query_pos, reference_points, spatial_shapes, key_padding_mask)
+            states.append(query)
+        if not self.memory_fusion:
+            return query
+        fused = jnp.concatenate(states, axis=-1)
+        fused = nn.Dense(self.embed_dim, name="fusion_0")(fused)
+        fused = nn.relu(fused)
+        fused = nn.Dense(self.embed_dim, name="fusion_1")(fused)
+        return nn.LayerNorm(name="fusion_norm")(fused)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """MHA self-attention (with additive bias) + MSDA cross-attention + FFN.
+
+    Spec: /root/reference/models/bricks/relation_transformer.py:386-478.
+    """
+
+    embed_dim: int = 256
+    d_ffn: int = 2048
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        query,
+        query_pos,
+        reference_points,
+        value,
+        spatial_shapes,
+        key_padding_mask,
+        self_attn_bias: Optional[jnp.ndarray],
+    ):
+        q_with_pos = with_pos_embed(query, query_pos)
+        attn = MultiheadAttention(self.embed_dim, self.num_heads, name="self_attn")(
+            query=q_with_pos, key=q_with_pos, value=query, attn_bias=self_attn_bias
+        )
+        query = nn.LayerNorm(name="norm2")(query + attn)
+
+        cross = MultiScaleDeformableAttention(
+            self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="cross_attn"
+        )(
+            query=with_pos_embed(query, query_pos),
+            reference_points=reference_points,
+            value=value,
+            spatial_shapes=spatial_shapes,
+            key_padding_mask=key_padding_mask,
+        )
+        query = nn.LayerNorm(name="norm1")(query + cross)
+
+        ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(query)
+        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(nn.relu(ffn))
+        return nn.LayerNorm(name="norm3")(query + ffn)
+
+
+class RelationTransformerDecoder(nn.Module):
+    """Decoder with iterative box refinement, look-forward-twice, and the
+    position-relation attention bias between consecutive layers' boxes.
+
+    Spec: /root/reference/models/bricks/relation_transformer.py:279-383.
+    """
+
+    num_classes: int
+    embed_dim: int = 256
+    d_ffn: int = 2048
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_layers: int = 6
+    use_relation: bool = True  # False => plain DINO-style decoder without relation bias
+
+    @nn.compact
+    def __call__(
+        self,
+        query,  # (B, Q, C)
+        reference_points,  # (B, Q, 4) sigmoid space
+        value,  # (B, S, C)
+        spatial_shapes,
+        valid_ratios,  # (B, L, 2)
+        key_padding_mask,  # (B, S)
+        attn_bias: Optional[jnp.ndarray] = None,  # (B|1, 1, Q, Q) CDN bias, -inf blocked
+        skip_relation: bool = False,
+    ):
+        ref_point_head = MLP(self.embed_dim, self.embed_dim, 2, name="ref_point_head")
+        query_scale = MLP(self.embed_dim, self.embed_dim, 2, name="query_scale")
+        norm = nn.LayerNorm(name="norm")
+        relation_embed = (
+            PositionRelationEmbedding(16, self.num_heads, name="position_relation_embedding")
+            if self.use_relation
+            else None
+        )
+
+        valid_ratio_scale = jnp.concatenate([valid_ratios, valid_ratios], -1)[:, None]  # (B,1,L,4)
+
+        outputs_classes = []
+        outputs_coords = []
+        pos_relation = attn_bias  # fallback, matches relation_transformer.py:335
+        tgt_boxes = None
+        for layer_idx in range(self.num_layers):
+            ref_input = (
+                jax.lax.stop_gradient(reference_points)[:, :, None] * valid_ratio_scale
+            )  # (B, Q, L, 4)
+            query_sine = get_sine_pos_embed(ref_input[:, :, 0, :], self.embed_dim // 2)
+            query_pos = ref_point_head(query_sine)
+            if layer_idx != 0:
+                query_pos = query_pos * query_scale(query)
+
+            query = TransformerDecoderLayer(
+                self.embed_dim,
+                self.d_ffn,
+                self.num_heads,
+                self.num_levels,
+                self.num_points,
+                name=f"layers_{layer_idx}",
+            )(
+                query=query,
+                query_pos=query_pos,
+                reference_points=ref_input,
+                value=value,
+                spatial_shapes=spatial_shapes,
+                key_padding_mask=key_padding_mask,
+                self_attn_bias=pos_relation,
+            )
+
+            normed = norm(query)
+            bbox_head = MLP(
+                self.embed_dim,
+                4,
+                3,
+                last_kernel_init=zeros_init,
+                name=f"bbox_head_{layer_idx}",
+            )
+            output_class = nn.Dense(
+                self.num_classes,
+                bias_init=prior_prob_bias_init(0.01),
+                name=f"class_head_{layer_idx}",
+            )(normed)
+            # look-forward-twice: reference_points NOT detached here
+            # (relation_transformer.py:356-362)
+            output_coord = nn.sigmoid(bbox_head(normed) + inverse_sigmoid(reference_points))
+            outputs_classes.append(output_class)
+            outputs_coords.append(output_coord)
+
+            if layer_idx == self.num_layers - 1:
+                break
+
+            if relation_embed is not None and not skip_relation:
+                src_boxes = tgt_boxes if layer_idx >= 1 else reference_points
+                tgt_boxes = output_coord
+                pos_relation = relation_embed(src_boxes, tgt_boxes)  # (B, H, Q, Q)
+                if attn_bias is not None:
+                    pos_relation = pos_relation + attn_bias  # -inf blocks survive addition
+
+            # iterative refinement on detached references
+            # (relation_transformer.py:377-379); the bbox head sees the raw
+            # (un-normed) query, matching the reference.
+            reference_points = nn.sigmoid(
+                bbox_head(query) + inverse_sigmoid(jax.lax.stop_gradient(reference_points))
+            )
+
+        return jnp.stack(outputs_classes), jnp.stack(outputs_coords)
+
+
+class RelationTransformer(nn.Module):
+    """Two-stage transformer with hybrid-branch training.
+
+    Spec: /root/reference/models/bricks/relation_transformer.py:16-159 plus
+    the two-stage helpers at
+    /root/reference/models/bricks/base_transformer.py:84-124.
+    """
+
+    num_classes: int
+    embed_dim: int = 256
+    d_ffn: int = 2048
+    num_heads: int = 8
+    num_feature_levels: int = 4
+    num_points: int = 4
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    two_stage_num_proposals: int = 900
+    hybrid_num_proposals: int = 1500
+    encoder_memory_fusion: bool = True
+    decoder_use_relation: bool = True
+
+    def setup(self):
+        self.encoder = RelationTransformerEncoder(
+            self.embed_dim,
+            self.d_ffn,
+            self.num_heads,
+            self.num_feature_levels,
+            self.num_points,
+            self.num_encoder_layers,
+            memory_fusion=self.encoder_memory_fusion,
+            name="encoder",
+        )
+        self.decoder = RelationTransformerDecoder(
+            self.num_classes,
+            self.embed_dim,
+            self.d_ffn,
+            self.num_heads,
+            self.num_feature_levels,
+            self.num_points,
+            self.num_decoder_layers,
+            use_relation=self.decoder_use_relation,
+            name="decoder",
+        )
+        self.level_embeds = self.param(
+            "level_embeds",
+            nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.embed_dim),
+        )
+        self.enc_output = nn.Dense(
+            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init, name="enc_output"
+        )
+        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+        self.tgt_embed = self.param(
+            "tgt_embed",
+            nn.initializers.normal(1.0),
+            (self.two_stage_num_proposals, self.embed_dim),
+        )
+        self.encoder_class_head = nn.Dense(
+            self.num_classes, bias_init=prior_prob_bias_init(0.01), name="encoder_class_head"
+        )
+        self.encoder_bbox_head = MLP(
+            self.embed_dim, 4, 3, last_kernel_init=zeros_init, name="encoder_bbox_head"
+        )
+        self.hybrid_tgt_embed = self.param(
+            "hybrid_tgt_embed",
+            nn.initializers.normal(1.0),
+            (self.hybrid_num_proposals, self.embed_dim),
+        )
+        self.hybrid_class_head = nn.Dense(
+            self.num_classes, bias_init=prior_prob_bias_init(0.01), name="hybrid_class_head"
+        )
+        self.hybrid_bbox_head = MLP(
+            self.embed_dim, 4, 3, last_kernel_init=zeros_init, name="hybrid_bbox_head"
+        )
+
+    def get_encoder_output(self, memory, proposals, memory_padding_mask):
+        """Mask invalid proposals, inverse-sigmoid them, and project memory.
+
+        Spec: /root/reference/models/bricks/base_transformer.py:116-124.
+        """
+        valid = jnp.all((proposals > 0.01) & (proposals < 0.99), axis=-1, keepdims=True)
+        p = jnp.clip(proposals, 1e-7, 1.0 - 1e-7)
+        proposals_logit = jnp.log(p / (1.0 - p))
+        invalid = memory_padding_mask[..., None] | ~valid
+        proposals_logit = jnp.where(invalid, jnp.inf, proposals_logit)
+        output_memory = memory * (~memory_padding_mask[..., None]) * valid
+        output_memory = self.enc_output_norm(self.enc_output(output_memory))
+        return output_memory, proposals_logit
+
+    def _select_topk(self, class_logits, coords, k):
+        """Top-k proposals by max class logit (relation_transformer.py:92-95)."""
+        scores = jnp.max(class_logits, axis=-1)  # (B, S)
+        _, topk_index = jax.lax.top_k(scores, k)  # (B, k)
+        topk_class = jnp.take_along_axis(class_logits, topk_index[..., None], axis=1)
+        topk_coord = jnp.take_along_axis(coords, topk_index[..., None], axis=1)
+        return topk_class, topk_coord
+
+    def __call__(
+        self,
+        multi_level_feats: Sequence[jnp.ndarray],  # NHWC per level
+        multi_level_masks: Sequence[jnp.ndarray],  # (B, H, W) True = pad
+        multi_level_pos_embeds: Sequence[jnp.ndarray],  # NHWC per level
+        noised_label_query: Optional[jnp.ndarray] = None,  # (B, Qdn, C)
+        noised_box_query: Optional[jnp.ndarray] = None,  # (B, Qdn, 4) logit space
+        attn_bias: Optional[jnp.ndarray] = None,  # (B|1, 1, Qt, Qt)
+        train: bool = False,
+    ):
+        spatial_shapes = bt.get_spatial_shapes(multi_level_masks)
+        feat_flatten = bt.flatten_multi_level(multi_level_feats)
+        mask_flatten = bt.flatten_multi_level(multi_level_masks)
+        lvl_pos = [
+            p + self.level_embeds[i][None, None, None, :]
+            for i, p in enumerate(multi_level_pos_embeds)
+        ]
+        lvl_pos_flatten = bt.flatten_multi_level(lvl_pos)
+        valid_ratios = bt.multi_level_valid_ratios(multi_level_masks)
+        reference_points, proposals = bt.get_reference(spatial_shapes, valid_ratios)
+
+        memory = self.encoder(
+            query=feat_flatten,
+            query_pos=lvl_pos_flatten,
+            reference_points=reference_points,
+            spatial_shapes=spatial_shapes,
+            key_padding_mask=mask_flatten,
+        )
+
+        output_memory, output_proposals = self.get_encoder_output(
+            memory, proposals, mask_flatten
+        )
+        enc_class = self.encoder_class_head(output_memory)
+        enc_coord = nn.sigmoid(self.encoder_bbox_head(output_memory) + output_proposals)
+        enc_class, enc_coord = self._select_topk(
+            enc_class, enc_coord, self.two_stage_num_proposals
+        )
+
+        reference = jax.lax.stop_gradient(enc_coord)
+        bs = feat_flatten.shape[0]
+        target = jnp.broadcast_to(
+            self.tgt_embed[None], (bs, *self.tgt_embed.shape)
+        )
+
+        if train:
+            hybrid_enc_class = self.hybrid_class_head(output_memory)
+            hybrid_enc_coord = nn.sigmoid(
+                self.hybrid_bbox_head(output_memory) + output_proposals
+            )
+            hybrid_enc_class, hybrid_enc_coord = self._select_topk(
+                hybrid_enc_class, hybrid_enc_coord, self.hybrid_num_proposals
+            )
+            hybrid_reference = jax.lax.stop_gradient(hybrid_enc_coord)
+            hybrid_target = jnp.broadcast_to(
+                self.hybrid_tgt_embed[None], (bs, *self.hybrid_tgt_embed.shape)
+            )
+        else:
+            hybrid_enc_class = hybrid_enc_coord = None
+
+        if noised_label_query is not None and noised_box_query is not None:
+            target = jnp.concatenate([noised_label_query, target], axis=1)
+            reference = jnp.concatenate(
+                [nn.sigmoid(noised_box_query), reference], axis=1
+            )
+
+        outputs_classes, outputs_coords = self.decoder(
+            query=target,
+            reference_points=reference,
+            value=memory,
+            spatial_shapes=spatial_shapes,
+            valid_ratios=valid_ratios,
+            key_padding_mask=mask_flatten,
+            attn_bias=attn_bias,
+        )
+
+        if train:
+            hybrid_classes, hybrid_coords = self.decoder(
+                query=hybrid_target,
+                reference_points=hybrid_reference,
+                value=memory,
+                spatial_shapes=spatial_shapes,
+                valid_ratios=valid_ratios,
+                key_padding_mask=mask_flatten,
+                attn_bias=None,
+                skip_relation=True,
+            )
+        else:
+            hybrid_classes = hybrid_coords = None
+
+        return (
+            outputs_classes,
+            outputs_coords,
+            enc_class,
+            enc_coord,
+            hybrid_classes,
+            hybrid_coords,
+            hybrid_enc_class,
+            hybrid_enc_coord,
+        )
