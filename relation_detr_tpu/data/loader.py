@@ -1,0 +1,192 @@
+"""Batching into static canvases + background prefetch.
+
+TPU replacement for the reference's variable-size list batching
+(/root/reference/util/collate_fn.py:8-9 + pad-inside-model at
+util/misc.py:75-107): every batch is padded to a *static* canvas from a small
+bucket set, so each bucket compiles exactly once. Ground truth pads to a
+fixed capacity with a validity mask. A thread prefetches and converts batches
+while the device computes (the reference uses a CUDA-stream DataPrefetcher,
+util/collate_fn.py:17-49).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# canvas buckets (h, w), /32-divisible, covering the detr preset's output
+# range at max_size 1333; a batch picks the smallest canvas that fits.
+DEFAULT_BUCKETS = ((512, 704), (608, 864), (736, 1024), (800, 1184), (800, 1344), (1344, 800), (1024, 736), (1344, 1344))
+MAX_GT = 100  # COCO max instances/image is 93
+
+
+def pick_canvas(h: int, w: int, buckets: Sequence[Tuple[int, int]]) -> Tuple[int, int]:
+    fits = [c for c in buckets if c[0] >= h and c[1] >= w]
+    if fits:
+        return min(fits, key=lambda c: c[0] * c[1])
+    return max(buckets, key=lambda c: c[0] * c[1])
+
+
+def collate(
+    samples: List[Dict],
+    buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+    max_gt: int = MAX_GT,
+    fixed_canvas: Optional[Tuple[int, int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Pad a list of transformed samples into one static-canvas batch.
+
+    Boxes arrive as absolute xyxy on the (resized) image and leave as
+    normalized cxcywh on the *canvas* — normalizing by the padded canvas and
+    masking padding reproduces the reference's prepare_targets semantics
+    (base_detector.py:177-188, which normalizes by the padded batch size).
+    """
+    bs = len(samples)
+    max_h = max(s["image"].shape[0] for s in samples)
+    max_w = max(s["image"].shape[1] for s in samples)
+    if fixed_canvas is not None:
+        canvas_h, canvas_w = fixed_canvas
+    else:
+        canvas_h, canvas_w = pick_canvas(max_h, max_w, buckets)
+
+    images = np.zeros((bs, canvas_h, canvas_w, 3), np.float32)
+    mask = np.ones((bs, canvas_h, canvas_w), bool)
+    gt_boxes = np.zeros((bs, max_gt, 4), np.float32)
+    gt_labels = np.full((bs, max_gt), -1, np.int32)
+    gt_valid = np.zeros((bs, max_gt), bool)
+    image_sizes = np.zeros((bs, 2), np.int64)
+    orig_sizes = np.zeros((bs, 2), np.int64)
+    image_ids = np.zeros((bs,), np.int64)
+
+    for i, s in enumerate(samples):
+        h, w = s["image"].shape[:2]
+        if h > canvas_h or w > canvas_w:  # safety: downscale into canvas
+            r = min(canvas_h / h, canvas_w / w)
+            import cv2
+
+            new_h, new_w = int(h * r), int(w * r)
+            s = dict(s)
+            s["boxes"] = s["boxes"] * r
+            s["image"] = cv2.resize(s["image"], (new_w, new_h))
+            h, w = new_h, new_w
+        images[i, :h, :w] = s["image"]
+        mask[i, :h, :w] = False
+        n = min(len(s["boxes"]), max_gt)
+        if n:
+            xyxy = s["boxes"][:n]
+            cxcywh = np.stack(
+                [
+                    (xyxy[:, 0] + xyxy[:, 2]) / 2,
+                    (xyxy[:, 1] + xyxy[:, 3]) / 2,
+                    xyxy[:, 2] - xyxy[:, 0],
+                    xyxy[:, 3] - xyxy[:, 1],
+                ],
+                -1,
+            )
+            # normalize by the *image* size (reference normalizes by the
+            # per-image size recorded in ImageList.image_sizes)
+            cxcywh = cxcywh / np.asarray([w, h, w, h], np.float32)
+            gt_boxes[i, :n] = cxcywh
+            gt_labels[i, :n] = s["labels"][:n]
+            gt_valid[i, :n] = True
+        image_sizes[i] = (h, w)
+        orig_sizes[i] = s["orig_size"]
+        image_ids[i] = s["image_id"]
+
+    return {
+        "images": images,
+        "mask": mask,
+        "gt_boxes": gt_boxes,
+        "gt_labels": gt_labels,
+        "gt_valid": gt_valid,
+        "image_sizes": image_sizes,
+        "orig_sizes": orig_sizes,
+        "image_ids": image_ids,
+    }
+
+
+class DataLoader:
+    """Simple multi-threaded map + prefetch loader over an indexable dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
+        max_gt: int = MAX_GT,
+        fixed_canvas: Optional[Tuple[int, int]] = None,
+        drop_last: bool = False,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(num_workers, 1)
+        self.buckets = buckets
+        self.max_gt = max_gt
+        self.fixed_canvas = fixed_canvas
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> List[List[int]]:
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(indices)
+        out = [
+            indices[i : i + self.batch_size].tolist()
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last and out and len(out[-1]) < self.batch_size:
+            out.pop()
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self._batches()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch_indices in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[i] for i in batch_indices]
+                    # pad ragged final batch by repeating the first sample
+                    while len(samples) < self.batch_size and not self.drop_last:
+                        pad = dict(samples[0])
+                        pad["boxes"] = pad["boxes"][:0]
+                        pad["labels"] = pad["labels"][:0]
+                        pad["image_id"] = -1
+                        samples.append(pad)
+                    q.put(
+                        collate(samples, self.buckets, self.max_gt, self.fixed_canvas)
+                    )
+                q.put(None)
+            except BaseException as e:  # surface loader errors to the consumer
+                q.put(e)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+        self.epoch += 1

@@ -1,0 +1,126 @@
+"""Host-side augmentation presets (numpy/cv2).
+
+Spec: /root/reference/transforms/presets.py. The default ``detr`` preset
+(presets.py:60-74, wired in configs/train_config.py:24) is: horizontal flip
+p=0.5, then RandomChoice between (a) multi-scale shortest-side resize with
+max 1333 and (b) resize-to-{400,500,600} -> RandomSizeCrop(384, 600) ->
+multi-scale resize; followed by float conversion + ImageNet normalization +
+box sanitization. These run on the host; the padded-to-bucket batching lives
+in data/loader.py so every device batch is a static canvas.
+"""
+from __future__ import annotations
+
+import random
+from typing import Dict, Sequence
+
+import cv2
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+DETR_SCALES = (480, 512, 544, 576, 608, 640, 672, 704, 736, 768, 800)
+
+
+def hflip(sample: Dict) -> Dict:
+    image = sample["image"][:, ::-1]
+    boxes = sample["boxes"].copy()
+    w = sample["image"].shape[1]
+    boxes[:, [0, 2]] = w - boxes[:, [2, 0]]
+    return {**sample, "image": np.ascontiguousarray(image), "boxes": boxes}
+
+
+def resize_shortest(sample: Dict, size: int, max_size: int = 1333) -> Dict:
+    h, w = sample["image"].shape[:2]
+    r = size / min(h, w)
+    if max_size is not None:
+        r = min(r, max_size / max(h, w))
+    new_h, new_w = int(round(h * r)), int(round(w * r))
+    image = cv2.resize(
+        sample["image"], (new_w, new_h), interpolation=cv2.INTER_LINEAR
+    )
+    boxes = sample["boxes"] * np.asarray(
+        [new_w / w, new_h / h, new_w / w, new_h / h], np.float32
+    )
+    return {**sample, "image": image, "boxes": boxes}
+
+
+def random_size_crop(sample: Dict, min_size: int, max_size: int, rng: random.Random) -> Dict:
+    h, w = sample["image"].shape[:2]
+    cw = rng.randint(min(min_size, w), min(max_size, w))
+    ch = rng.randint(min(min_size, h), min(max_size, h))
+    x0 = rng.randint(0, max(w - cw, 0))
+    y0 = rng.randint(0, max(h - ch, 0))
+    image = sample["image"][y0 : y0 + ch, x0 : x0 + cw]
+    boxes = sample["boxes"] - np.asarray([x0, y0, x0, y0], np.float32)
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, cw)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, ch)
+    keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    return {
+        **sample,
+        "image": np.ascontiguousarray(image),
+        "boxes": boxes[keep],
+        "labels": sample["labels"][keep],
+    }
+
+
+def normalize(sample: Dict) -> Dict:
+    image = sample["image"].astype(np.float32) / 255.0
+    image = (image - IMAGENET_MEAN) / IMAGENET_STD
+    return {**sample, "image": image}
+
+
+class DetrPreset:
+    """The ``detr`` train preset (presets.py:60-74)."""
+
+    def __init__(
+        self,
+        scales: Sequence[int] = DETR_SCALES,
+        max_size: int = 1333,
+        crop_scales: Sequence[int] = (400, 500, 600),
+        crop_range=(384, 600),
+        seed: int = 0,
+    ):
+        self.scales = list(scales)
+        self.max_size = max_size
+        self.crop_scales = list(crop_scales)
+        self.crop_range = crop_range
+        self.rng = random.Random(seed)
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.rng.random() < 0.5:
+            sample = hflip(sample)
+        if self.rng.random() < 0.5:
+            sample = resize_shortest(
+                sample, self.rng.choice(self.scales), self.max_size
+            )
+        else:
+            sample = resize_shortest(
+                sample, self.rng.choice(self.crop_scales), None
+            )
+            sample = random_size_crop(sample, *self.crop_range, self.rng)
+            sample = resize_shortest(
+                sample, self.rng.choice(self.scales), self.max_size
+            )
+        return normalize(sample)
+
+
+class EvalPreset:
+    """Eval resize+normalize, host-side equivalent of the in-model transform
+    (/root/reference/models/detectors/base_detector.py:60-80)."""
+
+    def __init__(self, min_size: int = 800, max_size: int = 1333):
+        self.min_size = min_size
+        self.max_size = max_size
+
+    def __call__(self, sample: Dict) -> Dict:
+        return normalize(resize_shortest(sample, self.min_size, self.max_size))
+
+
+# preset registry mirroring `transforms.presets` usage in configs
+def detr(seed: int = 0) -> DetrPreset:
+    return DetrPreset(seed=seed)
+
+
+def eval_800_1333() -> EvalPreset:
+    return EvalPreset(800, 1333)

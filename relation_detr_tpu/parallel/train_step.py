@@ -1,0 +1,125 @@
+"""Sharded training/eval steps.
+
+Replaces the reference's Accelerate/DDP engine loop body
+(/root/reference/util/engine.py:43-66): forward + loss, backward, grad clip,
+optimizer step — compiled as ONE XLA program over the mesh. Gradients reduce
+over the data axis implicitly (batch is sharded, params replicated), which is
+exactly DDP's all-reduce but fused by the compiler with the backward pass.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from relation_detr_tpu.losses.criterion import CriterionConfig, relation_detr_loss
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    def tree_flatten(self):
+        return (self.step, self.params, self.batch_stats, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model,
+    criterion_cfg: CriterionConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    hybrid_assign: int = 6,
+    donate: bool = True,
+):
+    """Build the jitted, mesh-sharded train step.
+
+    batch = dict(images (B,H,W,3), mask (B,H,W), gt_labels (B,G),
+    gt_boxes (B,G,4), gt_valid (B,G)) — leading dim sharded over "data".
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, batch_stats, batch, rng):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"],
+            batch["mask"],
+            batch["gt_labels"],
+            batch["gt_boxes"],
+            batch["gt_valid"],
+            train=True,
+            rngs={"denoising": rng},
+        )
+        total, losses = relation_detr_loss(
+            criterion_cfg,
+            outputs,
+            batch["gt_labels"],
+            batch["gt_boxes"],
+            batch["gt_valid"],
+            hybrid_assign=hybrid_assign,
+        )
+        return total, losses
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        step_rng = jax.random.fold_in(rng, state.step)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, step_rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"total_loss": total, **losses}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=state.batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh: Mesh):
+    """Jitted eval forward returning raw output heads (decode happens host-side
+    or via models/post_process.py)."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def eval_step(variables, images, mask):
+        return model.apply(variables, images, mask, train=False)
+
+    return jax.jit(eval_step, in_shardings=(repl, data, data), out_shardings=data)

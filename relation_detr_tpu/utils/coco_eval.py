@@ -1,0 +1,206 @@
+"""Self-contained COCO bbox mAP evaluation (pycocotools semantics).
+
+pycocotools is not available in this image, so this reimplements the COCOeval
+bbox protocol the reference relies on (/root/reference/util/coco_eval.py):
+greedy per-(image, category) matching at IoU thresholds .5:.05:.95, crowd
+regions as ignore-with-expand IoU, area-range filtering, 101-point
+interpolated AP, and the standard 12-stat summary.
+"""
+from __future__ import annotations
+
+import json
+from collections import defaultdict
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+RECALL_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def _iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """IoU of xywh boxes; crowd gt uses intersection-over-det-area."""
+    if len(dets) == 0 or len(gts) == 0:
+        return np.zeros((len(dets), len(gts)))
+    dx0, dy0 = dets[:, 0], dets[:, 1]
+    dx1, dy1 = dets[:, 0] + dets[:, 2], dets[:, 1] + dets[:, 3]
+    gx0, gy0 = gts[:, 0], gts[:, 1]
+    gx1, gy1 = gts[:, 0] + gts[:, 2], gts[:, 1] + gts[:, 3]
+    ix = np.clip(
+        np.minimum(dx1[:, None], gx1[None]) - np.maximum(dx0[:, None], gx0[None]), 0, None
+    )
+    iy = np.clip(
+        np.minimum(dy1[:, None], gy1[None]) - np.maximum(dy0[:, None], gy0[None]), 0, None
+    )
+    inter = ix * iy
+    det_area = (dets[:, 2] * dets[:, 3])[:, None]
+    gt_area = (gts[:, 2] * gts[:, 3])[None]
+    union = np.where(iscrowd[None], det_area, det_area + gt_area - inter)
+    return inter / np.maximum(union, 1e-12)
+
+
+class CocoEvaluator:
+    """Accumulates detections and computes the 12 COCO bbox stats."""
+
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            coco = json.load(f)
+        self.img_ids = [img["id"] for img in coco["images"]]
+        self.cat_ids = sorted(c["id"] for c in coco["categories"])
+        self.gts = defaultdict(list)  # (img_id, cat_id) -> list of anns
+        for ann in coco["annotations"]:
+            self.gts[(ann["image_id"], ann["category_id"])].append(ann)
+        self.dets = defaultdict(list)
+
+    def update(self, predictions: Sequence[Dict]):
+        """predictions: iterable of dicts with image_id, category_id,
+        bbox (xywh), score."""
+        for p in predictions:
+            self.dets[(p["image_id"], p["category_id"])].append(p)
+
+    def update_from_arrays(self, image_id: int, boxes_xyxy, scores, labels):
+        for box, score, label in zip(boxes_xyxy, scores, labels):
+            x0, y0, x1, y1 = [float(v) for v in box]
+            self.dets[(image_id, int(label))].append(
+                {
+                    "image_id": image_id,
+                    "category_id": int(label),
+                    "bbox": [x0, y0, x1 - x0, y1 - y0],
+                    "score": float(score),
+                }
+            )
+
+    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
+        gts = self.gts.get((img_id, cat_id), [])
+        dets = sorted(
+            self.dets.get((img_id, cat_id), []), key=lambda d: -d["score"]
+        )[:max_det]
+        if not gts and not dets:
+            return None
+        gt_boxes = np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
+        gt_crowd = np.asarray([g.get("iscrowd", 0) for g in gts], bool)
+        gt_area = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts])
+        gt_ignore = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+        # sort gts: non-ignored first (pycocotools order)
+        order = np.argsort(gt_ignore, kind="stable")
+        gt_boxes, gt_crowd, gt_ignore = gt_boxes[order], gt_crowd[order], gt_ignore[order]
+
+        det_boxes = np.asarray([d["bbox"] for d in dets], np.float64).reshape(-1, 4)
+        det_scores = np.asarray([d["score"] for d in dets])
+        ious = _iou_xywh(det_boxes, gt_boxes, gt_crowd)
+
+        num_thr = len(IOU_THRS)
+        gt_match = np.full((num_thr, len(gts)), -1, np.int64)
+        det_match = np.full((num_thr, len(dets)), -1, np.int64)
+        det_ignore = np.zeros((num_thr, len(dets)), bool)
+        for t, thr in enumerate(IOU_THRS):
+            for d in range(len(dets)):
+                best_iou = min(thr, 1 - 1e-10)
+                best_g = -1
+                for g in range(len(gts)):
+                    if gt_match[t, g] >= 0 and not gt_crowd[g]:
+                        continue
+                    # stop at ignored gts if a real match was found
+                    if best_g >= 0 and not gt_ignore[best_g] and gt_ignore[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    best_g = g
+                if best_g < 0:
+                    continue
+                det_ignore[t, d] = gt_ignore[best_g]
+                det_match[t, d] = best_g
+                gt_match[t, best_g] = d
+        det_area = det_boxes[:, 2] * det_boxes[:, 3]
+        det_out_of_range = (det_area < area_rng[0]) | (det_area > area_rng[1])
+        det_ignore = det_ignore | ((det_match == -1) & det_out_of_range[None])
+        return {
+            "det_scores": det_scores,
+            "det_matched": det_match >= 0,
+            "det_ignore": det_ignore,
+            "num_gt": int((~gt_ignore).sum()),
+        }
+
+    def accumulate_and_summarize(self, verbose: bool = True) -> Dict[str, float]:
+        num_thr = len(IOU_THRS)
+        precision = -np.ones((num_thr, len(RECALL_THRS), len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS)))
+        recall = -np.ones((num_thr, len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS)))
+
+        for ci, cat_id in enumerate(self.cat_ids):
+            for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+                for mi, max_det in enumerate(MAX_DETS):
+                    results = [
+                        r
+                        for img_id in self.img_ids
+                        if (r := self._evaluate_img(img_id, cat_id, arng, max_det))
+                        is not None
+                    ]
+                    if not results:
+                        continue
+                    scores = np.concatenate([r["det_scores"] for r in results])
+                    matched = np.concatenate([r["det_matched"] for r in results], axis=1)
+                    ignored = np.concatenate([r["det_ignore"] for r in results], axis=1)
+                    num_gt = sum(r["num_gt"] for r in results)
+                    if num_gt == 0:
+                        continue
+                    order = np.argsort(-scores, kind="mergesort")
+                    matched, ignored = matched[:, order], ignored[:, order]
+                    tps = matched & ~ignored
+                    fps = ~matched & ~ignored
+                    tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for t in range(num_thr):
+                        tp, fp = tp_cum[t], fp_cum[t]
+                        rc = tp / num_gt
+                        pr = tp / np.maximum(tp + fp, 1e-12)
+                        recall[t, ci, ai, mi] = rc[-1] if len(rc) else 0.0
+                        # make precision monotonically decreasing
+                        pr = pr.tolist()
+                        for i in range(len(pr) - 1, 0, -1):
+                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        inds = np.searchsorted(rc, RECALL_THRS, side="left")
+                        q = np.zeros(len(RECALL_THRS))
+                        for ri, pi in enumerate(inds):
+                            if pi < len(pr):
+                                q[ri] = pr[pi]
+                        precision[t, :, ci, ai, mi] = q
+
+        def _summary(ap=True, iou_thr=None, area="all", max_det=100):
+            ai = list(AREA_RANGES).index(area)
+            mi = MAX_DETS.index(max_det)
+            if ap:
+                s = precision[:, :, :, ai, mi]
+            else:
+                s = recall[:, :, ai, mi]
+            if iou_thr is not None:
+                t = int(np.where(np.isclose(IOU_THRS, iou_thr))[0][0])
+                s = s[t : t + 1]
+            s = s[s > -1]
+            return float(np.mean(s)) if s.size else -1.0
+
+        stats = {
+            "AP": _summary(True),
+            "AP50": _summary(True, 0.5),
+            "AP75": _summary(True, 0.75),
+            "APs": _summary(True, area="small"),
+            "APm": _summary(True, area="medium"),
+            "APl": _summary(True, area="large"),
+            "AR1": _summary(False, max_det=1),
+            "AR10": _summary(False, max_det=10),
+            "AR100": _summary(False),
+            "ARs": _summary(False, area="small"),
+            "ARm": _summary(False, area="medium"),
+            "ARl": _summary(False, area="large"),
+        }
+        if verbose:
+            for k, v in stats.items():
+                print(f"{k:>6}: {v:.4f}")
+        return stats

@@ -1,0 +1,125 @@
+"""Evaluation CLI: COCO val mAP.
+
+Public surface mirrors /root/reference/test.py:
+    python test.py --coco-path data/coco --model-config configs/... --checkpoint x.npz
+Eval resize happens host-side into static canvas buckets; box rescaling uses
+original image sizes (mirrors PostProcess semantics, post_process.py:40-43).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relation_detr_tpu.data.coco import CocoDetection
+from relation_detr_tpu.data.loader import DataLoader
+from relation_detr_tpu.data.transforms import EvalPreset
+from relation_detr_tpu.models.post_process import post_process
+from relation_detr_tpu.utils.checkpoint import load_weights
+from relation_detr_tpu.utils.coco_eval import CocoEvaluator
+from relation_detr_tpu.utils.config import Config
+from relation_detr_tpu.utils.logging import MetricLogger, setup_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser("relation_detr_tpu evaluation")
+    p.add_argument("--coco-path", default="data/coco")
+    p.add_argument("--split", default="val2017")
+    p.add_argument("--model-config",
+                   default="configs/relation_detr/relation_detr_resnet50_800_1333.py")
+    p.add_argument("--checkpoint", default=None, help=".npz weight file")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--result-json", default=None, help="dump predictions json")
+    p.add_argument("--max-images", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logger = setup_logger()
+    model_cfg = Config(args.model_config)
+    model = model_cfg.model
+
+    ann_file = os.path.join(
+        args.coco_path, "annotations", f"instances_{args.split}.json"
+    )
+    dataset = CocoDetection(
+        img_folder=os.path.join(args.coco_path, args.split),
+        ann_file=ann_file,
+        transforms=EvalPreset(model_cfg.get("min_size", 800),
+                              model_cfg.get("max_size", 1333)),
+    )
+    if args.max_images:
+        dataset.ids = dataset.ids[: args.max_images]
+    # adaptive canvas buckets: portrait images resize up to (1333, 800), so a
+    # fixed landscape canvas would silently downscale them (mAP loss); each
+    # bucket compiles once.
+    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
+
+    # init then overwrite with checkpoint
+    canvas = (args.batch_size, 800, 1344)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.key(0), "denoising": jax.random.key(1)},
+            jnp.zeros((*canvas, 3), jnp.float32),
+            jnp.zeros(canvas, bool),
+            jnp.zeros((args.batch_size, 8), jnp.int32),
+            jnp.full((args.batch_size, 8, 4), 0.5, jnp.float32),
+            jnp.zeros((args.batch_size, 8), bool),
+            train=True,
+        )
+    )()
+    if args.checkpoint:
+        variables = dict(variables)
+        variables["params"] = load_weights(args.checkpoint, variables["params"])
+
+    fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
+    topk = model_cfg.get("select_box_nums_for_evaluation", 300)
+
+    evaluator = CocoEvaluator(ann_file)
+    metric = MetricLogger(print_freq=50, logger=logger)
+    all_predictions = []
+    for batch in metric.log_every(loader, "eval"):
+        out = fwd(variables, jnp.asarray(batch["images"]), jnp.asarray(batch["mask"]))
+        # rescale: model boxes are normalized to the canvas; convert to
+        # resized-image pixels then to original pixels
+        canvas_h, canvas_w = batch["images"].shape[1:3]
+        canvas_sizes = jnp.asarray(
+            np.repeat([[canvas_h, canvas_w]], len(batch["images"]), 0), jnp.float32
+        )
+        det = post_process(out["pred_logits"], out["pred_boxes"], canvas_sizes, topk)
+        boxes = np.asarray(det["boxes"])
+        scores = np.asarray(det["scores"])
+        labels = np.asarray(det["labels"])
+        for i in range(len(boxes)):
+            if batch["image_ids"][i] < 0:
+                continue  # tail padding
+            ih, iw = batch["image_sizes"][i]
+            oh, ow = batch["orig_sizes"][i]
+            scale = np.asarray([ow / iw, oh / ih, ow / iw, oh / ih], np.float32)
+            b = boxes[i] * scale
+            evaluator.update_from_arrays(int(batch["image_ids"][i]), b, scores[i], labels[i])
+            if args.result_json:
+                for bb, ss, ll in zip(b, scores[i], labels[i]):
+                    all_predictions.append({
+                        "image_id": int(batch["image_ids"][i]),
+                        "category_id": int(ll),
+                        "bbox": [float(bb[0]), float(bb[1]),
+                                 float(bb[2] - bb[0]), float(bb[3] - bb[1])],
+                        "score": float(ss),
+                    })
+
+    stats = evaluator.accumulate_and_summarize()
+    logger.info(f"mAP: {stats['AP']:.4f}  AP50: {stats['AP50']:.4f}")
+    if args.result_json:
+        with open(args.result_json, "w") as f:
+            json.dump(all_predictions, f)
+        logger.info(f"wrote {len(all_predictions)} predictions to {args.result_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Training CLI.
+
+Public surface mirrors /root/reference/main.py:
+    python train.py --config-file configs/train_config.py [--mixed-precision bf16]
+Data parallelism comes from the device mesh (all local devices) instead of
+`accelerate launch`.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from relation_detr_tpu.losses.criterion import CriterionConfig
+from relation_detr_tpu.parallel.mesh import create_mesh, shard_batch
+from relation_detr_tpu.parallel.train_step import (
+    create_train_state,
+    make_train_step,
+)
+from relation_detr_tpu.utils.checkpoint import CheckpointManager, save_weights
+from relation_detr_tpu.utils.config import Config
+from relation_detr_tpu.utils.logging import MetricLogger, setup_logger
+from relation_detr_tpu.utils.param_groups import (
+    build_optimizer,
+    warmup_multistep_schedule,
+)
+
+
+def parse_args():
+    p = argparse.ArgumentParser("relation_detr_tpu training")
+    p.add_argument("--config-file", default="configs/train_config.py")
+    p.add_argument("--model-config", default=None, help="override cfg.model_path")
+    p.add_argument("--output-dir", default=None)
+    p.add_argument("--num-epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None, help="per-chip batch size")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--canvas", default="800,1344", help="fixed train canvas h,w")
+    p.add_argument("--max-steps", type=int, default=None, help="debug: stop early")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = Config(args.config_file)
+    model_cfg = Config(args.model_config or cfg.model_path)
+
+    model = model_cfg.model
+    criterion_cfg: CriterionConfig = model_cfg.criterion
+
+    name = os.path.splitext(os.path.basename(args.model_config or cfg.model_path))[0]
+    output_dir = args.output_dir or cfg.get("output_dir") or f"checkpoints/{name}"
+    logger = setup_logger(output=os.path.join(output_dir, "train.log"))
+    logger.info(f"devices: {jax.devices()}")
+
+    mesh = create_mesh()
+    n_chips = len(jax.devices())
+    per_chip = args.batch_size or cfg.batch_size
+    global_batch = per_chip * n_chips
+    num_epochs = args.num_epochs or cfg.num_epochs
+    canvas = tuple(int(x) for x in args.canvas.split(","))
+
+    dataset = cfg.train_dataset()
+    from relation_detr_tpu.data.loader import DataLoader
+
+    loader = DataLoader(
+        dataset,
+        batch_size=global_batch,
+        shuffle=True,
+        seed=args.seed,
+        num_workers=cfg.get("num_workers", 4),
+        fixed_canvas=canvas,
+        drop_last=True,
+    )
+    steps_per_epoch = len(loader)
+    logger.info(f"{len(dataset)} images, {steps_per_epoch} steps/epoch, "
+                f"global batch {global_batch}")
+
+    schedule = warmup_multistep_schedule(
+        cfg.learning_rate,
+        steps_per_epoch,
+        milestones_epochs=cfg.get("lr_milestones", (10,)),
+        gamma=cfg.get("lr_gamma", 0.1),
+    )
+    tx = build_optimizer(
+        schedule,
+        weight_decay=cfg.get("weight_decay", 1e-4),
+        betas=cfg.get("betas", (0.9, 0.999)),
+        max_norm=cfg.get("max_norm", 0.1),
+    )
+
+    # init params on a dummy batch
+    rng = jax.random.key(args.seed)
+    dummy = {
+        "images": jnp.zeros((global_batch, *canvas, 3), jnp.float32),
+        "mask": jnp.zeros((global_batch, *canvas), bool),
+        "gt_labels": jnp.zeros((global_batch, loader.max_gt), jnp.int32),
+        "gt_boxes": jnp.full((global_batch, loader.max_gt, 4), 0.5, jnp.float32),
+        "gt_valid": jnp.zeros((global_batch, loader.max_gt), bool),
+    }
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": rng, "denoising": rng},
+            dummy["images"], dummy["mask"], dummy["gt_labels"],
+            dummy["gt_boxes"], dummy["gt_valid"], train=True,
+        )
+    )()
+    n_params = sum(x.size for x in jax.tree.leaves(variables))
+    logger.info(f"model params: {n_params / 1e6:.1f}M")
+
+    state = create_train_state(variables, tx)
+    ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+    start_epoch = cfg.get("starting_epoch", 0)
+    if args.resume or cfg.get("resume_from_checkpoint"):
+        state = ckpt.restore(state)
+        start_epoch = int(ckpt.latest_epoch()) + 1
+        logger.info(f"resumed from epoch {start_epoch - 1}")
+
+    step_fn = make_train_step(
+        model, criterion_cfg, tx, mesh,
+        hybrid_assign=model_cfg.get("hybrid_assign", 6),
+    )
+
+    global_step = 0
+    for epoch in range(start_epoch, num_epochs):
+        metric = MetricLogger(print_freq=cfg.get("print_freq", 50), logger=logger)
+        for batch in metric.log_every(loader, f"epoch {epoch}"):
+            device_batch = shard_batch(mesh, {
+                k: batch[k] for k in
+                ("images", "mask", "gt_labels", "gt_boxes", "gt_valid")
+            })
+            state, metrics = step_fn(state, device_batch, rng)
+            global_step += 1
+            if global_step % cfg.get("print_freq", 50) == 0:
+                host = {k: float(v) for k, v in metrics.items()
+                        if k in ("total_loss", "grad_norm", "loss_class", "loss_bbox", "loss_giou")}
+                if not math.isfinite(host["total_loss"]):
+                    raise RuntimeError(f"non-finite loss at step {global_step}: {host}")
+                metric.update(**host)
+            if args.max_steps and global_step >= args.max_steps:
+                logger.info("max steps reached")
+                break
+        ckpt.save(epoch, state)
+        save_weights(os.path.join(output_dir, "latest.npz"), state.params)
+        if args.max_steps and global_step >= args.max_steps:
+            break
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
