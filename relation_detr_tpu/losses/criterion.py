@@ -283,9 +283,9 @@ def denoising_loss(
     target_classes = jnp.where(positive, jnp.clip(slot_labels, 0, cfg.num_classes - 1),
                                cfg.num_classes)
     # slots in used groups (the reference buffer region), incl. per-image padding
-    slots = jnp.arange(dn_cap)
-    slot_used = (slots // (2 * dn_meta.max_gt)) < dn_meta.groups  # (dn_cap,)
-    query_mask = jnp.broadcast_to(slot_used[None, :], (bs, dn_cap)).astype(jnp.float32)
+    query_mask = jnp.broadcast_to(
+        dn_meta.dn_slot_used[None, :], (bs, dn_cap)
+    ).astype(jnp.float32)
 
     losses = {}
     for layer in range(num_layers):

@@ -22,7 +22,10 @@ import numpy as np
 from flax import linen as nn
 
 from relation_detr_tpu.models.backbones.resnet import ResNetBackbone
-from relation_detr_tpu.models.denoising import DenoisingMeta, GenerateCDNQueries
+from relation_detr_tpu.models.denoising import (
+    DenoisingMeta,
+    GenerateDenoisingQueries,
+)
 from relation_detr_tpu.models.neck import ChannelMapper
 from relation_detr_tpu.models.position_encoding import position_embedding_sine
 from relation_detr_tpu.models.transformer import RelationTransformer
@@ -57,11 +60,13 @@ class RelationDETR(nn.Module):
     transformer_enc_layers: int = 6
     transformer_dec_layers: int = 6
     backbone_arch: str = "resnet50"
-    # model-family switches (DINO++ / Deformable++ reuse this detector body)
+    # model-family switches (DINO++ / Def-DETR++ / DN++ / DAB++ reuse this body)
     encoder_memory_fusion: bool = True
     decoder_use_relation: bool = True
     with_hybrid: bool = True
-    with_denoising: bool = True
+    denoising: Optional[str] = "cdn"  # "cdn" | "dn" | None
+    dn_groups: int = 5  # for denoising == "dn"
+    query_source: str = "tgt_embed"  # "tgt_embed" | "memory" | "learned_anchor"
 
     def setup(self):
         self.backbone = ResNetBackbone(arch=self.backbone_arch, name="backbone")
@@ -80,18 +85,32 @@ class RelationDETR(nn.Module):
             num_encoder_layers=self.transformer_enc_layers,
             num_decoder_layers=self.transformer_dec_layers,
             two_stage_num_proposals=self.num_queries,
-            hybrid_num_proposals=self.hybrid_num_proposals,
+            hybrid_num_proposals=self.hybrid_num_proposals if self.with_hybrid else 0,
             encoder_memory_fusion=self.encoder_memory_fusion,
             decoder_use_relation=self.decoder_use_relation,
+            query_source=self.query_source,
+            learned_query_indicator=self.denoising == "dn",
             name="transformer",
         )
-        if self.with_denoising:
-            self.denoising_generator = GenerateCDNQueries(
+        if self.denoising == "cdn":
+            self.denoising_generator = GenerateDenoisingQueries(
                 num_classes=self.num_classes,
                 embed_dim=self.embed_dim,
+                contrastive=True,
                 denoising_nums=self.denoising_nums,
                 label_noise_prob=0.5,
                 box_noise_scale=1.0,
+                name="denoising_generator",
+            )
+        elif self.denoising == "dn":
+            self.denoising_generator = GenerateDenoisingQueries(
+                num_classes=self.num_classes,
+                embed_dim=self.embed_dim,
+                contrastive=False,
+                denoising_groups=self.dn_groups,
+                label_noise_prob=0.2,
+                box_noise_scale=0.4,
+                with_indicator=True,
                 name="denoising_generator",
             )
 
@@ -118,7 +137,7 @@ class RelationDETR(nn.Module):
 
         dn_meta: Optional[DenoisingMeta] = None
         noised_label_queries = noised_box_queries = attn_bias = None
-        if train and self.with_denoising:
+        if train and self.denoising is not None:
             rng = self.make_rng("denoising")
             noised_label_queries, noised_box_queries, attn_bias, dn_meta = (
                 self.denoising_generator(
@@ -159,7 +178,10 @@ class RelationDETR(nn.Module):
             "pred_logits": outputs_class[:-1],
             "pred_boxes": outputs_coord[:-1],
         }
-        outputs["enc_outputs"] = {"pred_logits": enc_class, "pred_boxes": enc_coord}
+        if enc_class is not None:
+            outputs["enc_outputs"] = {
+                "pred_logits": enc_class, "pred_boxes": enc_coord
+            }
         if hybrid_class is not None:
             outputs["hybrid_outputs"] = {
                 "pred_logits": hybrid_class[-1],

@@ -277,6 +277,15 @@ class RelationTransformer(nn.Module):
     hybrid_num_proposals: int = 1500
     encoder_memory_fusion: bool = True
     decoder_use_relation: bool = True
+    # model-family switches:
+    # "tgt_embed"      — learned content queries + two-stage box proposals
+    #                    (Relation-DETR / DINO, relation_transformer.py:99)
+    # "memory"         — content queries gathered from encoder memory
+    #                    (DAB two-stage, dab_transformer.py:78)
+    # "learned_anchor" — single-stage learned queries + learned anchor boxes
+    #                    (DN, dn_transformer.py:36-48, 77-87)
+    query_source: str = "tgt_embed"
+    learned_query_indicator: bool = False  # DN: last channel is an indicator
 
     def setup(self):
         self.encoder = RelationTransformerEncoder(
@@ -305,32 +314,56 @@ class RelationTransformer(nn.Module):
             nn.initializers.normal(1.0),
             (self.num_feature_levels, self.embed_dim),
         )
-        self.enc_output = nn.Dense(
-            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init, name="enc_output"
-        )
-        self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
-        self.tgt_embed = self.param(
-            "tgt_embed",
-            nn.initializers.normal(1.0),
-            (self.two_stage_num_proposals, self.embed_dim),
-        )
-        self.encoder_class_head = nn.Dense(
-            self.num_classes, bias_init=prior_prob_bias_init(0.01), name="encoder_class_head"
-        )
-        self.encoder_bbox_head = MLP(
-            self.embed_dim, 4, 3, last_kernel_init=zeros_init, name="encoder_bbox_head"
-        )
-        self.hybrid_tgt_embed = self.param(
-            "hybrid_tgt_embed",
-            nn.initializers.normal(1.0),
-            (self.hybrid_num_proposals, self.embed_dim),
-        )
-        self.hybrid_class_head = nn.Dense(
-            self.num_classes, bias_init=prior_prob_bias_init(0.01), name="hybrid_class_head"
-        )
-        self.hybrid_bbox_head = MLP(
-            self.embed_dim, 4, 3, last_kernel_init=zeros_init, name="hybrid_bbox_head"
-        )
+        self.two_stage = self.query_source in ("tgt_embed", "memory")
+        if self.two_stage:
+            self.enc_output = nn.Dense(
+                self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init,
+                name="enc_output",
+            )
+            self.enc_output_norm = nn.LayerNorm(name="enc_output_norm")
+            self.encoder_class_head = nn.Dense(
+                self.num_classes, bias_init=prior_prob_bias_init(0.01),
+                name="encoder_class_head",
+            )
+            self.encoder_bbox_head = MLP(
+                self.embed_dim, 4, 3, last_kernel_init=zeros_init,
+                name="encoder_bbox_head",
+            )
+        if self.query_source == "tgt_embed":
+            self.tgt_embed = self.param(
+                "tgt_embed",
+                nn.initializers.normal(1.0),
+                (self.two_stage_num_proposals, self.embed_dim),
+            )
+        elif self.query_source == "learned_anchor":
+            # DN: zero-init content queries (minus indicator col) + learned
+            # anchors initialized uniform -> clamped logit (dn_transformer.py:44-48)
+            width = self.embed_dim - (1 if self.learned_query_indicator else 0)
+            self.tgt_embed = self.param(
+                "tgt_embed", zeros_init, (self.two_stage_num_proposals, width)
+            )
+
+            def _refpoint_init(key, shape, dtype=jnp.float32):
+                u = jax.random.uniform(key, shape, dtype)
+                return jnp.clip(inverse_sigmoid(u), -3.0, 3.0)
+
+            self.refpoint_embed = self.param(
+                "refpoint_embed", _refpoint_init, (self.two_stage_num_proposals, 4)
+            )
+        if self.hybrid_num_proposals > 0:
+            self.hybrid_tgt_embed = self.param(
+                "hybrid_tgt_embed",
+                nn.initializers.normal(1.0),
+                (self.hybrid_num_proposals, self.embed_dim),
+            )
+            self.hybrid_class_head = nn.Dense(
+                self.num_classes, bias_init=prior_prob_bias_init(0.01),
+                name="hybrid_class_head",
+            )
+            self.hybrid_bbox_head = MLP(
+                self.embed_dim, 4, 3, last_kernel_init=zeros_init,
+                name="hybrid_bbox_head",
+            )
 
     def get_encoder_output(self, memory, proposals, memory_padding_mask):
         """Mask invalid proposals, inverse-sigmoid them, and project memory.
@@ -352,7 +385,7 @@ class RelationTransformer(nn.Module):
         _, topk_index = jax.lax.top_k(scores, k)  # (B, k)
         topk_class = jnp.take_along_axis(class_logits, topk_index[..., None], axis=1)
         topk_coord = jnp.take_along_axis(coords, topk_index[..., None], axis=1)
-        return topk_class, topk_coord
+        return topk_class, topk_coord, topk_index
 
     def __call__(
         self,
@@ -383,35 +416,58 @@ class RelationTransformer(nn.Module):
             key_padding_mask=mask_flatten,
         )
 
-        output_memory, output_proposals = self.get_encoder_output(
-            memory, proposals, mask_flatten
-        )
-        enc_class = self.encoder_class_head(output_memory)
-        enc_coord = nn.sigmoid(self.encoder_bbox_head(output_memory) + output_proposals)
-        enc_class, enc_coord = self._select_topk(
-            enc_class, enc_coord, self.two_stage_num_proposals
-        )
-
-        reference = jax.lax.stop_gradient(enc_coord)
         bs = feat_flatten.shape[0]
-        target = jnp.broadcast_to(
-            self.tgt_embed[None], (bs, *self.tgt_embed.shape)
-        )
+        hybrid_enc_class = hybrid_enc_coord = None
+        if self.two_stage:
+            output_memory, output_proposals = self.get_encoder_output(
+                memory, proposals, mask_flatten
+            )
+            enc_class = self.encoder_class_head(output_memory)
+            enc_coord = nn.sigmoid(
+                self.encoder_bbox_head(output_memory) + output_proposals
+            )
+            enc_class, enc_coord, topk_index = self._select_topk(
+                enc_class, enc_coord, self.two_stage_num_proposals
+            )
+            reference = jax.lax.stop_gradient(enc_coord)
+            if self.query_source == "memory":
+                # DAB: content queries are the selected memory features
+                # (dab_transformer.py:78)
+                target = jax.lax.stop_gradient(
+                    jnp.take_along_axis(output_memory, topk_index[..., None], axis=1)
+                )
+            else:
+                target = jnp.broadcast_to(
+                    self.tgt_embed[None], (bs, *self.tgt_embed.shape)
+                )
 
-        if train:
-            hybrid_enc_class = self.hybrid_class_head(output_memory)
-            hybrid_enc_coord = nn.sigmoid(
-                self.hybrid_bbox_head(output_memory) + output_proposals
-            )
-            hybrid_enc_class, hybrid_enc_coord = self._select_topk(
-                hybrid_enc_class, hybrid_enc_coord, self.hybrid_num_proposals
-            )
-            hybrid_reference = jax.lax.stop_gradient(hybrid_enc_coord)
-            hybrid_target = jnp.broadcast_to(
-                self.hybrid_tgt_embed[None], (bs, *self.hybrid_tgt_embed.shape)
-            )
+            if train and self.hybrid_num_proposals > 0:
+                hybrid_enc_class = self.hybrid_class_head(output_memory)
+                hybrid_enc_coord = nn.sigmoid(
+                    self.hybrid_bbox_head(output_memory) + output_proposals
+                )
+                hybrid_enc_class, hybrid_enc_coord, _ = self._select_topk(
+                    hybrid_enc_class, hybrid_enc_coord, self.hybrid_num_proposals
+                )
+                hybrid_reference = jax.lax.stop_gradient(hybrid_enc_coord)
+                hybrid_target = jnp.broadcast_to(
+                    self.hybrid_tgt_embed[None], (bs, *self.hybrid_tgt_embed.shape)
+                )
         else:
-            hybrid_enc_class = hybrid_enc_coord = None
+            # DN single-stage: learned queries (+ zero indicator column for the
+            # matching part) and learned anchors (dn_transformer.py:77-87)
+            enc_class = enc_coord = None
+            tgt = self.tgt_embed
+            if self.learned_query_indicator:
+                tgt = jnp.concatenate(
+                    [tgt, jnp.zeros((tgt.shape[0], 1), tgt.dtype)], axis=-1
+                )
+            target = jnp.broadcast_to(tgt[None], (bs, *tgt.shape))
+            reference = nn.sigmoid(
+                jnp.broadcast_to(
+                    self.refpoint_embed[None], (bs, *self.refpoint_embed.shape)
+                )
+            )
 
         if noised_label_query is not None and noised_box_query is not None:
             target = jnp.concatenate([noised_label_query, target], axis=1)
@@ -429,7 +485,7 @@ class RelationTransformer(nn.Module):
             attn_bias=attn_bias,
         )
 
-        if train:
+        if train and self.hybrid_num_proposals > 0:
             hybrid_classes, hybrid_coords = self.decoder(
                 query=hybrid_target,
                 reference_points=hybrid_reference,

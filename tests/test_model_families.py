@@ -1,0 +1,96 @@
+"""Every model family builds, runs a train forward, and yields finite loss+grads."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from relation_detr_tpu.losses.criterion import CriterionConfig, relation_detr_loss
+from relation_detr_tpu.models.detector import RelationDETR
+
+FAMILIES = {
+    "relation": dict(with_hybrid=True, denoising="cdn", encoder_memory_fusion=True,
+                     decoder_use_relation=True, query_source="tgt_embed"),
+    "dino_pp": dict(with_hybrid=False, denoising="cdn", encoder_memory_fusion=False,
+                    decoder_use_relation=True, query_source="tgt_embed"),
+    "def_detr_pp": dict(with_hybrid=False, denoising=None, encoder_memory_fusion=False,
+                        decoder_use_relation=True, query_source="tgt_embed"),
+    "dn_def_detr_pp": dict(with_hybrid=False, denoising="dn", dn_groups=3,
+                           encoder_memory_fusion=False, decoder_use_relation=True,
+                           query_source="learned_anchor"),
+    "dab_def_detr_pp": dict(with_hybrid=False, denoising=None,
+                            encoder_memory_fusion=False, decoder_use_relation=True,
+                            query_source="memory"),
+}
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    B, H, W, G = 1, 64, 64, 6
+    return {
+        "images": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+        "mask": jnp.zeros((B, H, W), bool),
+        "gt_labels": jnp.asarray(rng.randint(0, 10, (B, G)), jnp.int32),
+        "gt_boxes": jnp.asarray(
+            np.clip(rng.uniform(0.2, 0.6, (B, G, 4)), 0.05, 0.95), jnp.float32
+        ),
+        "gt_valid": jnp.asarray(np.array([[True, True, True, False, False, False]])),
+    }
+
+
+@pytest.mark.parametrize("family", list(FAMILIES))
+def test_family_train_and_eval(family, batch):
+    kwargs = FAMILIES[family]
+    model = RelationDETR(
+        num_classes=10,
+        num_queries=30,
+        hybrid_num_proposals=40,
+        denoising_nums=4,
+        transformer_enc_layers=1,
+        transformer_dec_layers=2,
+        backbone_arch="resnet18",
+        **kwargs,
+    )
+    cfg = CriterionConfig(num_classes=10,
+                          class_loss_type="vari_focal" if family == "relation" else "focal",
+                          two_stage_binary_cls=family == "def_detr_pp")
+    variables = model.init(
+        {"params": jax.random.key(0), "denoising": jax.random.key(1)},
+        batch["images"], batch["mask"], batch["gt_labels"], batch["gt_boxes"],
+        batch["gt_valid"], train=True,
+    )
+
+    def loss_fn(v):
+        out = model.apply(
+            v, batch["images"], batch["mask"], batch["gt_labels"],
+            batch["gt_boxes"], batch["gt_valid"], train=True,
+            rngs={"denoising": jax.random.key(2)},
+        )
+        total, losses = relation_detr_loss(cfg, out, batch["gt_labels"],
+                                           batch["gt_boxes"], batch["gt_valid"])
+        return total, losses
+
+    (total, losses), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(variables)
+    assert np.isfinite(float(total)), family
+    assert all(np.isfinite(float(v)) for v in losses.values()), family
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree.leaves(grads)), family
+
+    # family-specific output structure
+    out = jax.jit(
+        lambda v: model.apply(v, batch["images"], batch["mask"], train=False)
+    )(variables)
+    assert out["pred_logits"].shape == (1, 30, 10)
+    if family in ("def_detr_pp", "dab_def_detr_pp", "dino_pp", "relation"):
+        assert "enc_outputs" in out
+    else:
+        assert "enc_outputs" not in out
+    if family == "dn_def_detr_pp":
+        assert "loss_class_enc" not in losses
+    if family == "relation":
+        assert any(k.endswith("_hybrid") for k in losses)
+    else:
+        assert not any(k.endswith("_hybrid") for k in losses)
+    if kwargs["denoising"]:
+        assert "loss_class_dn" in losses
+    else:
+        assert "loss_class_dn" not in losses
