@@ -1,3 +1,27 @@
+from relation_detr_tpu.models.backbones.convnext import ConvNeXtBackbone
+from relation_detr_tpu.models.backbones.focalnet import FocalNetBackbone
 from relation_detr_tpu.models.backbones.resnet import ResNetBackbone
+from relation_detr_tpu.models.backbones.swin import SwinTransformerBackbone
 
-__all__ = ["ResNetBackbone"]
+
+def build_backbone(arch: str, name: str = "backbone"):
+    """Backbone factory keyed by arch string (mirrors the reference's
+    per-family BaseBackbone.__new__ factories)."""
+    if arch.startswith("resnet"):
+        return ResNetBackbone(arch=arch, name=name)
+    if arch.startswith("swin"):
+        return SwinTransformerBackbone(arch=arch, name=name)
+    if arch.startswith("focalnet"):
+        return FocalNetBackbone(arch=arch, name=name)
+    if arch.startswith("convnext"):
+        return ConvNeXtBackbone(arch=arch, name=name)
+    raise ValueError(f"unknown backbone arch: {arch}")
+
+
+__all__ = [
+    "ResNetBackbone",
+    "SwinTransformerBackbone",
+    "FocalNetBackbone",
+    "ConvNeXtBackbone",
+    "build_backbone",
+]

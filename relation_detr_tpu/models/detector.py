@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from relation_detr_tpu.models.backbones.resnet import ResNetBackbone
+from relation_detr_tpu.models.backbones import build_backbone
 from relation_detr_tpu.models.denoising import (
     DenoisingMeta,
     GenerateDenoisingQueries,
@@ -69,7 +69,7 @@ class RelationDETR(nn.Module):
     query_source: str = "tgt_embed"  # "tgt_embed" | "memory" | "learned_anchor"
 
     def setup(self):
-        self.backbone = ResNetBackbone(arch=self.backbone_arch, name="backbone")
+        self.backbone = build_backbone(self.backbone_arch, name="backbone")
         self.neck = ChannelMapper(
             num_inputs=len(self.backbone.num_channels),
             out_channels=self.embed_dim,

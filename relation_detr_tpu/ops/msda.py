@@ -29,6 +29,31 @@ import jax
 import jax.numpy as jnp
 
 
+import contextlib
+
+# framework-wide MSDA kernel selection (analogous to torch.backends flags);
+# modules read these defaults so configs/benchmarks can switch implementations
+# without re-plumbing every layer.
+_MSDA_DEFAULTS = {"impl": "gather", "gather_dtype": jnp.float32}
+
+
+def set_msda_defaults(impl: str = None, gather_dtype=None):
+    if impl is not None:
+        _MSDA_DEFAULTS["impl"] = impl
+    if gather_dtype is not None:
+        _MSDA_DEFAULTS["gather_dtype"] = gather_dtype
+
+
+@contextlib.contextmanager
+def msda_defaults(impl: str = None, gather_dtype=None):
+    saved = dict(_MSDA_DEFAULTS)
+    set_msda_defaults(impl, gather_dtype)
+    try:
+        yield
+    finally:
+        _MSDA_DEFAULTS.update(saved)
+
+
 def _level_start_indices(spatial_shapes: Sequence[Tuple[int, int]]):
     starts = []
     acc = 0
@@ -43,6 +68,8 @@ def multi_scale_deformable_attention(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    impl: str = None,
+    gather_dtype=None,
 ) -> jnp.ndarray:
     """Deformable attention core.
 
@@ -51,12 +78,23 @@ def multi_scale_deformable_attention(
       spatial_shapes: static sequence of (h, w) per level.
       sampling_locations: (B, Q, H, L, P, 2) normalized (x, y) in [0, 1].
       attention_weights: (B, Q, H, L, P), softmax-normalized over L*P.
+      impl: "gather" (4 point gathers per corner) or "pair" (one gather per
+        (point, y-row) fetching the 2 x-adjacent corners contiguously).
+      gather_dtype: dtype the value tensor is gathered in; weights and the
+        final reduction stay fp32 (the fp32 island the reference keeps,
+        ms_deform_attn.py:358-373).
 
     Returns:
       (B, Q, H * D) attended features, dtype of ``value``.
     """
+    impl = impl or _MSDA_DEFAULTS["impl"]
+    gather_dtype = gather_dtype or _MSDA_DEFAULTS["gather_dtype"]
+    if impl == "pair":
+        return _msda_pair_gather(
+            value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
+        )
     in_dtype = value.dtype
-    value = value.astype(jnp.float32)
+    value = value.astype(gather_dtype)
     sampling_locations = sampling_locations.astype(jnp.float32)
     attention_weights = attention_weights.astype(jnp.float32)
 
@@ -102,5 +140,100 @@ def multi_scale_deformable_attention(
         out = out + jnp.sum(
             sampled * attention_weights[:, :, :, lvl, :, None], axis=3
         )
+
+    return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
+
+
+def _msda_pair_gather(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    gather_dtype,
+) -> jnp.ndarray:
+    """Corner-pair formulation: one lax.gather slice of (2, D) contiguous
+    texels per (query, head, level, point, y-row) — half the requests of the
+    4-corner form, each fetching 2*D contiguous floats.
+
+    The x-pair start is clamped to [0, W-2]; per-slot weights re-derive which
+    slot corresponds to x0/x1 so out-of-bounds corners contribute exactly 0,
+    preserving grid_sample zero-padding semantics.
+    """
+    in_dtype = value.dtype
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+    bs, _, num_heads, head_dim = value.shape
+    _, num_queries, _, num_levels, num_points, _ = sampling_locations.shape
+    starts, total = _level_start_indices(spatial_shapes)
+    assert value.shape[1] == total
+
+    # head-major (B*H, S, D) so each head gathers independently
+    vhm = jnp.transpose(value.astype(gather_dtype), (0, 2, 1, 3)).reshape(
+        bs * num_heads, total, head_dim
+    )
+
+    out = jnp.zeros((bs, num_queries, num_heads, head_dim), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(vhm, starts[lvl], h * w, axis=1)
+        value_l = value_l.reshape(bs * num_heads, h, w, head_dim)
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+
+        # pair start, clamped so the 2-slice stays in-row
+        xc = jnp.clip(x0, 0, max(w - 2, 0))
+        # slot weights: slot s holds column xc+s; match it to x0/x1
+        def slot_weight(s):
+            col = xc + s
+            w0 = jnp.where((col == x0) & (x0 >= 0) & (x0 < w), 1.0 - fx, 0.0)
+            w1 = jnp.where((col == x0 + 1) & (x0 + 1 >= 0) & (x0 + 1 < w), fx, 0.0)
+            return w0 + w1
+
+        wx = jnp.stack([slot_weight(0), slot_weight(1)], -1)  # (B, Q, H, P, 2)
+
+        gathered = []
+        wy_list = []
+        for dy, wy in ((0, 1.0 - fy), (1, fy)):
+            yc = y0 + dy
+            y_valid = (yc >= 0) & (yc < h)
+            yc_safe = jnp.clip(yc, 0, h - 1)
+            # indices (B*H, Q*P, 2): (y, x) start of a (1, 2, D) slice
+            idx = jnp.stack([yc_safe, xc], -1)  # (B, Q, H, P, 2)
+            idx = jnp.transpose(idx, (0, 2, 1, 3, 4)).reshape(
+                bs * num_heads, num_queries * num_points, 2
+            )
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(2, 3),
+                collapsed_slice_dims=(1,),
+                start_index_map=(1, 2),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            )
+            got = jax.lax.gather(
+                value_l,
+                idx,
+                dnums,
+                slice_sizes=(1, 1, 2, head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (B*H, Q*P, 2, D)
+            got = got.reshape(bs, num_heads, num_queries, num_points, 2, head_dim)
+            gathered.append(got)
+            wy_list.append(jnp.where(y_valid, wy, 0.0))
+
+        attn = attention_weights[:, :, :, lvl]  # (B, Q, H, P)
+        contrib = jnp.zeros((bs, num_queries, num_heads, head_dim), jnp.float32)
+        for got, wy in zip(gathered, wy_list):
+            # (B, H, Q, P, 2, D) * weights (B, Q, H, P, 2)
+            wfull = (wx * wy[..., None] * attn[..., None]).astype(jnp.float32)
+            wfull = jnp.transpose(wfull, (0, 2, 1, 3, 4))  # (B, H, Q, P, 2)
+            contrib = contrib + jnp.transpose(
+                jnp.sum(got.astype(jnp.float32) * wfull[..., None], axis=(3, 4)),
+                (0, 2, 1, 3),
+            )
+        out = out + contrib
 
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
