@@ -55,8 +55,7 @@ def main():
         )
     )()
     if args.checkpoint:
-        variables = dict(variables)
-        variables["params"] = load_weights(args.checkpoint, variables["params"])
+        variables = load_weights(args.checkpoint, dict(variables))
     fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
 
     if args.show_dir:

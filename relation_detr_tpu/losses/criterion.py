@@ -46,6 +46,23 @@ class CriterionConfig:
     class_loss_type: str = "vari_focal"  # "focal" | "vari_focal"
     two_stage_binary_cls: bool = False
     aux_loss: bool = True
+    # Align-DETR mixed assignment (hungarian_matcher.py:83-91): each GT is
+    # matched to up to `mixed_match` queries (tiled targets). 1 = standard.
+    mixed_match: int = 1
+
+
+def tile_targets(gt_labels, gt_boxes, gt_valid, copies: int, num_queries: int):
+    """Tile targets for mixed assignment; extra copies beyond the dynamic cap
+    min(num_queries * 0.5 / gt_size, copies) are masked invalid."""
+    if copies <= 1:
+        return gt_labels, gt_boxes, gt_valid
+    tiled_labels = jnp.tile(gt_labels, (1, copies))
+    tiled_boxes = jnp.tile(gt_boxes, (1, copies, 1))
+    tiled_valid = jnp.tile(gt_valid, (1, copies))
+    gt_size = jnp.maximum(jnp.sum(gt_valid, axis=1, keepdims=True), 1)
+    cap = jnp.minimum((num_queries // 2) // gt_size, copies)  # (B, 1)
+    copy_idx = jnp.arange(copies).repeat(gt_valid.shape[1])[None]
+    return tiled_labels, tiled_boxes, tiled_valid & (copy_idx < cap)
 
 
 def compute_matching(
@@ -168,6 +185,10 @@ def calculate_loss(
     Mirrors SetCriterion.calculate_loss (set_criterion.py:120-131).
     """
     if match is None:
+        if cfg.mixed_match > 1:
+            gt_labels, gt_boxes, gt_valid = tile_targets(
+                gt_labels, gt_boxes, gt_valid, cfg.mixed_match, pred_logits.shape[1]
+            )
         match = compute_matching(cfg, pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid)
 
     bs, num_queries, _ = pred_logits.shape

@@ -20,6 +20,7 @@ def post_process(
     target_sizes: jnp.ndarray,  # (B, 2) original (h, w)
     select_box_nums_for_evaluation: int = 300,
     confidence_score: float = -1.0,
+    nms_iou_threshold: float = -1.0,
 ) -> Dict[str, jnp.ndarray]:
     """Returns dict of (B, N) scores/labels, (B, N, 4) xyxy boxes, (B, N) valid."""
     bs, num_queries, num_classes = pred_logits.shape
@@ -37,4 +38,9 @@ def post_process(
     valid = jnp.ones_like(scores, bool)
     if confidence_score > 0:
         valid = valid & (scores > confidence_score)
+    if nms_iou_threshold > 0:
+        from relation_detr_tpu.ops.nms import nms_mask
+
+        keep = jax.vmap(lambda b, s: nms_mask(b, s, nms_iou_threshold))(boxes, scores)
+        valid = valid & keep
     return {"scores": scores, "labels": labels, "boxes": boxes, "valid": valid}

@@ -1,0 +1,20 @@
+"""Exponential moving average of parameters.
+
+Mirrors /root/reference/util/utils.py:272-282 (torch AveragedModel with decay
+averaging): ema = decay * ema + (1 - decay) * params, as a pure pytree op.
+"""
+from __future__ import annotations
+
+import jax
+
+
+def ema_init(params):
+    return jax.tree.map(lambda x: x, params)
+
+
+def ema_update(ema_params, params, decay: float = 0.999):
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay),
+        ema_params,
+        params,
+    )

@@ -74,8 +74,7 @@ def main():
         )
     )()
     if args.checkpoint:
-        variables = dict(variables)
-        variables["params"] = load_weights(args.checkpoint, variables["params"])
+        variables = load_weights(args.checkpoint, dict(variables))
 
     fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
     topk = model_cfg.get("select_box_nums_for_evaluation", 300)

@@ -43,6 +43,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--canvas", default="800,1344", help="fixed train canvas h,w")
     p.add_argument("--max-steps", type=int, default=None, help="debug: stop early")
+    p.add_argument("--tensorboard", action="store_true", help="log to <output>/tb")
+    p.add_argument("--profile-steps", default=None,
+                   help="START,STOP step range to capture a jax profiler trace")
     return p.parse_args()
 
 
@@ -127,6 +130,15 @@ def main():
         hybrid_assign=model_cfg.get("hybrid_assign", 6),
     )
 
+    tb_writer = None
+    if args.tensorboard:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(os.path.join(output_dir, "tb"))
+    profile_range = None
+    if args.profile_steps:
+        profile_range = tuple(int(x) for x in args.profile_steps.split(","))
+
     global_step = 0
     for epoch in range(start_epoch, num_epochs):
         metric = MetricLogger(print_freq=cfg.get("print_freq", 50), logger=logger)
@@ -135,19 +147,30 @@ def main():
                 k: batch[k] for k in
                 ("images", "mask", "gt_labels", "gt_boxes", "gt_valid")
             })
+            if profile_range and global_step == profile_range[0]:
+                jax.profiler.start_trace(os.path.join(output_dir, "profile"))
             state, metrics = step_fn(state, device_batch, rng)
             global_step += 1
+            if profile_range and global_step == profile_range[1]:
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {output_dir}/profile")
             if global_step % cfg.get("print_freq", 50) == 0:
                 host = {k: float(v) for k, v in metrics.items()
                         if k in ("total_loss", "grad_norm", "loss_class", "loss_bbox", "loss_giou")}
                 if not math.isfinite(host["total_loss"]):
                     raise RuntimeError(f"non-finite loss at step {global_step}: {host}")
                 metric.update(**host)
+                if tb_writer is not None:
+                    for k, v in metrics.items():
+                        tb_writer.add_scalar(f"train/{k}", float(v), global_step)
             if args.max_steps and global_step >= args.max_steps:
                 logger.info("max steps reached")
                 break
         ckpt.save(epoch, state)
-        save_weights(os.path.join(output_dir, "latest.npz"), state.params)
+        save_weights(
+            os.path.join(output_dir, "latest.npz"),
+            {"params": state.params, "batch_stats": state.batch_stats},
+        )
         if args.max_steps and global_step >= args.max_steps:
             break
     logger.info("training done")
