@@ -27,10 +27,14 @@ class CocoDetection:
         ann_file: str,
         transforms=None,
         train: bool = False,
+        class_agnostic: bool = False,
     ):
+        """``class_agnostic`` collapses every category to id 1 — the SA-Det-100k
+        evaluation protocol (/root/reference/README.md:74-77)."""
         self.img_folder = img_folder
         self.transforms = transforms
         self.train = train
+        self.class_agnostic = class_agnostic
         with open(ann_file) as f:
             coco = json.load(f)
         self.images = {img["id"]: img for img in coco["images"]}
@@ -57,7 +61,7 @@ class CocoDetection:
             if x1 <= x0 or y1 <= y0:
                 continue
             boxes.append([x0, y0, x1, y1])
-            labels.append(ann["category_id"])
+            labels.append(1 if self.class_agnostic else ann["category_id"])
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         labels = np.asarray(labels, np.int64)
         return boxes, labels
@@ -69,6 +73,15 @@ class CocoDetection:
 
     def __len__(self):
         return len(self.ids)
+
+    def get_raw(self, index: int):
+        """Untransformed sample — used by multi-image transforms to fetch
+        extra images without recursing through the transform chain."""
+        transforms, self.transforms = self.transforms, None
+        try:
+            return self[index]
+        finally:
+            self.transforms = transforms
 
     def __getitem__(self, index: int):
         img_id = self.ids[index]
@@ -86,5 +99,26 @@ class CocoDetection:
             "orig_size": np.asarray(image.shape[:2], np.int64),  # (h, w)
         }
         if self.transforms is not None:
+            # multi-image transforms (Mosaic/MixUp/CopyPaste) pull extra
+            # samples from this dataset (reference update_dataset hook,
+            # datasets/coco.py:31-40)
+            if hasattr(self.transforms, "update_dataset"):
+                self.transforms.update_dataset(self)
+            for t in getattr(self.transforms, "transforms", ()):  # Compose
+                if hasattr(t, "update_dataset"):
+                    t.update_dataset(self)
             sample = self.transforms(sample)
         return sample
+
+
+class Object365Detection(CocoDetection):
+    """Objects365 with the reference's corrupt-image skip
+    (/root/reference/datasets/coco.py:136-161)."""
+
+    def __getitem__(self, index: int):
+        for offset in range(len(self)):
+            try:
+                return super().__getitem__((index + offset) % len(self))
+            except (cv2.error, AttributeError, OSError):
+                continue
+        raise RuntimeError("no readable images in dataset")

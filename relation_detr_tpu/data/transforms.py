@@ -117,10 +117,87 @@ class EvalPreset:
         return normalize(resize_shortest(sample, self.min_size, self.max_size))
 
 
+def scale_jitter(sample: Dict, target_size, scale_range, rng: random.Random) -> Dict:
+    """LSJ ScaleJitter: random scale in range relative to target
+    (presets.py:30-48 / torchvision ScaleJitter)."""
+    h, w = sample["image"].shape[:2]
+    th, tw = target_size
+    scale = rng.uniform(*scale_range) * min(th / h, tw / w)
+    new_h, new_w = max(int(h * scale), 1), max(int(w * scale), 1)
+    image = cv2.resize(sample["image"], (new_w, new_h), interpolation=cv2.INTER_LINEAR)
+    boxes = sample["boxes"] * np.asarray(
+        [new_w / w, new_h / h, new_w / w, new_h / h], np.float32
+    )
+    return {**sample, "image": image, "boxes": boxes}
+
+
+def fixed_size_crop(sample: Dict, size, rng: random.Random, fill: int = 114) -> Dict:
+    """Crop (or pad) to a fixed canvas at a random position (LSJ FixedSizeCrop)."""
+    th, tw = size
+    h, w = sample["image"].shape[:2]
+    y0 = rng.randint(0, max(h - th, 0))
+    x0 = rng.randint(0, max(w - tw, 0))
+    crop = sample["image"][y0 : y0 + th, x0 : x0 + tw]
+    canvas = np.full((th, tw, *crop.shape[2:]), fill, crop.dtype)
+    canvas[: crop.shape[0], : crop.shape[1]] = crop
+    boxes = sample["boxes"] - np.asarray([x0, y0, x0, y0], np.float32)
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, tw)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, th)
+    keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    return {
+        **sample,
+        "image": canvas,
+        "boxes": boxes[keep],
+        "labels": sample["labels"][keep],
+    }
+
+
+class LSJPreset:
+    """Large-scale jitter preset (presets.py:30-48): hflip + ScaleJitter(0.1, 2)
+    + FixedSizeCrop + normalize."""
+
+    def __init__(self, size: int = 1024, scale_range=(0.1, 2.0), seed: int = 0):
+        self.size = (size, size)
+        self.scale_range = scale_range
+        self.rng = random.Random(seed)
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.rng.random() < 0.5:
+            sample = hflip(sample)
+        sample = scale_jitter(sample, self.size, self.scale_range, self.rng)
+        sample = fixed_size_crop(sample, self.size, self.rng)
+        return normalize(sample)
+
+
+class Compose:
+    def __init__(self, *transforms):
+        self.transforms = transforms
+
+    def __call__(self, sample: Dict) -> Dict:
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
 # preset registry mirroring `transforms.presets` usage in configs
 def detr(seed: int = 0) -> DetrPreset:
     return DetrPreset(seed=seed)
 
 
+def lsj(seed: int = 0) -> LSJPreset:
+    return LSJPreset(1024, seed=seed)
+
+
+def lsj_1536(seed: int = 0) -> LSJPreset:
+    return LSJPreset(1536, seed=seed)
+
+
 def eval_800_1333() -> EvalPreset:
     return EvalPreset(800, 1333)
+
+
+def mosaic_detr(dataset=None, seed: int = 0) -> Compose:
+    """Mosaic followed by the detr preset (presets.py:245-316)."""
+    from relation_detr_tpu.data.mix_transforms import Mosaic
+
+    return Compose(Mosaic(dataset, seed=seed), DetrPreset(seed=seed))

@@ -2,6 +2,7 @@ from relation_detr_tpu.models.backbones.convnext import ConvNeXtBackbone
 from relation_detr_tpu.models.backbones.focalnet import FocalNetBackbone
 from relation_detr_tpu.models.backbones.resnet import ResNetBackbone
 from relation_detr_tpu.models.backbones.swin import SwinTransformerBackbone
+from relation_detr_tpu.models.backbones.vit import VisionTransformerBackbone
 
 
 def build_backbone(arch: str, name: str = "backbone"):
@@ -15,6 +16,8 @@ def build_backbone(arch: str, name: str = "backbone"):
         return FocalNetBackbone(arch=arch, name=name)
     if arch.startswith("convnext"):
         return ConvNeXtBackbone(arch=arch, name=name)
+    if arch.startswith("vit"):
+        return VisionTransformerBackbone(arch=arch, name=name)
     raise ValueError(f"unknown backbone arch: {arch}")
 
 
@@ -23,5 +26,6 @@ __all__ = [
     "SwinTransformerBackbone",
     "FocalNetBackbone",
     "ConvNeXtBackbone",
+    "VisionTransformerBackbone",
     "build_backbone",
 ]
