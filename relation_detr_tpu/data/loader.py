@@ -22,6 +22,21 @@ DEFAULT_BUCKETS = ((512, 704), (608, 864), (736, 1024), (800, 1184), (800, 1344)
 MAX_GT = 100  # COCO max instances/image is 93
 
 
+def aspect_ratio_group_ids(dataset, k: int = 3) -> np.ndarray:
+    """Quantize image aspect ratios into 2k+1 log-spaced groups.
+
+    Mirrors /root/reference/util/group_by_aspect_ratio.py:183-192, using the
+    COCO metadata fast path (widths/heights from the annotation index, no
+    image decode).
+    """
+    bins = (2.0 ** np.linspace(-1, 1, 2 * k + 1)).tolist() if k > 0 else [1.0]
+    ratios = []
+    for img_id in dataset.ids:
+        info = dataset.images[img_id]
+        ratios.append(info["width"] / info["height"])
+    return np.digitize(ratios, bins)
+
+
 def pick_canvas(h: int, w: int, buckets: Sequence[Tuple[int, int]]) -> Tuple[int, int]:
     fits = [c for c in buckets if c[0] >= h and c[1] >= w]
     if fits:
@@ -121,6 +136,7 @@ class DataLoader:
         fixed_canvas: Optional[Tuple[int, int]] = None,
         drop_last: bool = False,
         prefetch: int = 2,
+        aspect_ratio_group_factor: int = -1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -133,6 +149,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        self.group_ids = None
+        if aspect_ratio_group_factor >= 0 and hasattr(dataset, "images"):
+            self.group_ids = aspect_ratio_group_ids(dataset, aspect_ratio_group_factor)
 
     def __len__(self):
         n = len(self.dataset)
@@ -144,10 +163,30 @@ class DataLoader:
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(indices)
-        out = [
-            indices[i : i + self.batch_size].tolist()
-            for i in range(0, len(indices), self.batch_size)
-        ]
+        if self.group_ids is not None:
+            # same-aspect-group batches (GroupedBatchSampler semantics,
+            # group_by_aspect_ratio.py:14-76): batch within each group,
+            # back-fill the cross-group remainder at the end.
+            out, leftovers = [], []
+            for g in np.unique(self.group_ids):
+                members = indices[self.group_ids[indices] == g]
+                full = len(members) // self.batch_size * self.batch_size
+                out.extend(
+                    members[i : i + self.batch_size].tolist()
+                    for i in range(0, full, self.batch_size)
+                )
+                leftovers.extend(members[full:].tolist())
+            out.extend(
+                leftovers[i : i + self.batch_size]
+                for i in range(0, len(leftovers), self.batch_size)
+            )
+            if self.shuffle:
+                np.random.RandomState(self.seed * 31 + self.epoch).shuffle(out)
+        else:
+            out = [
+                indices[i : i + self.batch_size].tolist()
+                for i in range(0, len(indices), self.batch_size)
+            ]
         if self.drop_last and out and len(out[-1]) < self.batch_size:
             out.pop()
         return out
@@ -156,6 +195,17 @@ class DataLoader:
         batches = self._batches()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def safe_put(item) -> bool:
+            """Put with stop polling so an abandoned iterator can't wedge the
+            worker in a blocking put (which aborts at interpreter teardown)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
@@ -170,12 +220,13 @@ class DataLoader:
                         pad["labels"] = pad["labels"][:0]
                         pad["image_id"] = -1
                         samples.append(pad)
-                    q.put(
+                    if not safe_put(
                         collate(samples, self.buckets, self.max_gt, self.fixed_canvas)
-                    )
-                q.put(None)
+                    ):
+                        return
+                safe_put(None)
             except BaseException as e:  # surface loader errors to the consumer
-                q.put(e)
+                safe_put(e)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
@@ -189,4 +240,13 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+            # drain so the worker can't be blocked in a put, then join —
+            # killing a daemon thread inside native code (cv2) aborts at
+            # interpreter teardown otherwise
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5.0)
         self.epoch += 1
