@@ -93,6 +93,10 @@ def multi_scale_deformable_attention(
         return _msda_pair_gather(
             value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
         )
+    if impl == "corner_pack":
+        return _msda_corner_pack(
+            value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
+        )
     in_dtype = value.dtype
     value = value.astype(gather_dtype)
     sampling_locations = sampling_locations.astype(jnp.float32)
@@ -140,6 +144,113 @@ def multi_scale_deformable_attention(
         out = out + jnp.sum(
             sampled * attention_weights[:, :, :, lvl, :, None], axis=3
         )
+
+    return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
+
+
+def _msda_corner_pack(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    gather_dtype,
+) -> jnp.ndarray:
+    """Corner-packed formulation — the TPU-tuned gather.
+
+    TPU gathers fetch at vector-register-row (and often full-tile)
+    granularity, so a naive per-corner gather of D=32 floats wastes ~4-32x of
+    every fetch. Here the value tensor is pre-packed per level so one row
+    holds all four bilinear corners contiguously in the 128-lane dimension:
+
+        packed[y*W + x] = [V(y,x) | V(y,x+1) | V(y+1,x) | V(y+1,x+1)]
+
+    (built with three rolls — O(S) streaming). One gather per (query, head,
+    point) then fetches a full 4*D = 128-lane row covering the whole 2x2
+    bilinear footprint: 4x fewer requests, each using 100% of a vreg row.
+
+    Exactness: the pack start is clamped to the level interior
+    (x in [0, W-2], y in [0, H-2]); per-slot weights re-derive which slot is
+    which corner, so clamped starts and out-of-bounds corners contribute
+    exactly the grid_sample zero-padding result.
+    """
+    in_dtype = value.dtype
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+    bs, _, num_heads, head_dim = value.shape
+    _, num_queries, _, num_levels, num_points, _ = sampling_locations.shape
+    starts, total = _level_start_indices(spatial_shapes)
+    assert value.shape[1] == total
+
+    vhm = jnp.transpose(value.astype(gather_dtype), (0, 2, 1, 3)).reshape(
+        bs * num_heads, total, head_dim
+    )
+
+    out = jnp.zeros((bs, num_queries, num_heads, head_dim), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        value_l = jax.lax.dynamic_slice_in_dim(vhm, starts[lvl], h * w, axis=1)
+        # pack 2x2 corner neighborhoods into the lane dim: (B*H, hw, 4D)
+        packed = jnp.concatenate(
+            [
+                value_l,
+                jnp.roll(value_l, -1, axis=1),
+                jnp.roll(value_l, -w, axis=1),
+                jnp.roll(value_l, -(w + 1), axis=1),
+            ],
+            axis=-1,
+        )
+
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        xc = jnp.clip(x0, 0, max(w - 2, 0))
+        yc = jnp.clip(y0, 0, max(h - 2, 0))
+
+        def axis_slot_weight(s, base, clamped, frac, size):
+            coord = clamped + s
+            w0 = jnp.where((coord == base) & (base >= 0) & (base < size), 1.0 - frac, 0.0)
+            w1 = jnp.where(
+                (coord == base + 1) & (base + 1 >= 0) & (base + 1 < size), frac, 0.0
+            )
+            return w0 + w1
+
+        wx = jnp.stack(
+            [axis_slot_weight(s, x0, xc, fx, w) for s in (0, 1)], -1
+        )  # (B, Q, H, P, 2)
+        wy = jnp.stack(
+            [axis_slot_weight(s, y0, yc, fy, h) for s in (0, 1)], -1
+        )
+        # slot order matches the pack: (y slot, x slot) = 00, 01, 10, 11
+        wslot = (wy[..., :, None] * wx[..., None, :]).reshape(
+            bs, num_queries, num_heads, num_points, 4
+        )
+        wslot = wslot * attention_weights[:, :, :, lvl][..., None]
+
+        idx = yc * w + xc  # (B, Q, H, P)
+        idx = jnp.transpose(idx, (0, 2, 1, 3)).reshape(
+            bs * num_heads, num_queries * num_points, 1
+        )
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(2,),
+            collapsed_slice_dims=(1,),
+            start_index_map=(1,),
+            operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,),
+        )
+        got = jax.lax.gather(
+            packed,
+            idx,
+            dnums,
+            slice_sizes=(1, 1, 4 * head_dim),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # (B*H, Q*P, 4D)
+        got = got.reshape(bs, num_heads, num_queries, num_points, 4, head_dim)
+        wfull = jnp.transpose(wslot, (0, 2, 1, 3, 4))  # (B, H, Q, P, 4)
+        contrib = jnp.sum(got.astype(jnp.float32) * wfull[..., None], axis=(3, 4))
+        out = out + jnp.transpose(contrib, (0, 2, 1, 3))
 
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
 
