@@ -3,6 +3,9 @@
 Prints ONE JSON line: images/sec/chip at the best batch size, plus p50
 latency at batch 1 in the payload.
 
+Timing forces a device->host scalar fetch per iteration (this container's
+axon platform does not block in block_until_ready; see PERF.md).
+
 vs_baseline: the reference publishes no throughput numbers
 (/root/reference/README.md has mAP only; tools/benchmark_model.py is ad hoc).
 We use a documented proxy: DINO-class R50 detectors at 800x1333 run ~20-25
@@ -22,7 +25,9 @@ A100_PROXY_IMG_PER_SEC = 22.0
 
 def main():
     from __graft_entry__ import _flagship, _init_variables
+    from relation_detr_tpu.ops.msda import set_msda_defaults
 
+    set_msda_defaults(impl="corner_pack")  # fastest measured variant (PERF.md)
     model = _flagship()
     H, W, G = 800, 1344, 8
 
@@ -42,18 +47,19 @@ def main():
         jnp.zeros((1, G), bool),
     )
 
-    fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
+    fwd = jax.jit(
+        lambda v, x, m: jnp.sum(model.apply(v, x, m, train=False)["pred_logits"])
+    )
 
     results = {}
     for batch in (1, 4):
         images, mask = make_inputs(batch)
-        out = fwd(variables, images, mask)
-        jax.block_until_ready(out)
+        float(fwd(variables, images, mask))  # compile + warm
+        float(fwd(variables, images, mask))
         times = []
-        for _ in range(20):
+        for _ in range(12):
             t0 = time.perf_counter()
-            out = fwd(variables, images, mask)
-            jax.block_until_ready(out)
+            float(fwd(variables, images, mask))  # scalar fetch forces sync
             times.append(time.perf_counter() - t0)
         p50 = float(np.percentile(times, 50))
         results[batch] = {"p50_s": p50, "img_per_s": batch / p50}
@@ -67,7 +73,7 @@ def main():
         "p50_latency_ms_b1": round(results[1]["p50_s"] * 1000, 2),
         "per_batch": {str(k): {kk: round(vv, 4) for kk, vv in v.items()}
                       for k, v in results.items()},
-        "model": "relation_detr_resnet50_800_1333 (eval forward)",
+        "model": "relation_detr_resnet50_800_1333 (eval forward, corner_pack msda)",
     }
     print(json.dumps(payload))
 

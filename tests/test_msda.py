@@ -56,12 +56,14 @@ def make_inputs(seed, bs=2, num_queries=17, num_heads=4, head_dim=8, num_points=
     return value, spatial_shapes, locs, attn
 
 
+@pytest.mark.parametrize("impl", ["gather", "pair", "corner_pack"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_msda_matches_grid_sample_oracle(seed):
+def test_msda_matches_grid_sample_oracle(seed, impl):
     value, shapes, locs, attn = make_inputs(seed)
     ours = np.asarray(
         multi_scale_deformable_attention(
-            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn)
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn),
+            impl=impl,
         )
     )
     ref = torch_msda_oracle(
@@ -71,6 +73,22 @@ def test_msda_matches_grid_sample_oracle(seed):
         torch.from_numpy(attn),
     ).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["pair", "corner_pack"])
+def test_msda_impl_grads_match_gather(impl):
+    value, shapes, locs, attn = make_inputs(5, bs=1, num_queries=6)
+
+    def loss(v, l, a, i):
+        return jnp.sum(
+            multi_scale_deformable_attention(v, shapes, l, a, impl=i) ** 2
+        )
+
+    args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args, "gather")
+    g_new = jax.grad(loss, argnums=(0, 1, 2))(*args, impl)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
 def test_msda_gradients_flow():
