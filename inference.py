@@ -54,8 +54,12 @@ def main():
             train=True,
         )
     )()
+    class_names = None
     if args.checkpoint:
         variables = load_weights(args.checkpoint, dict(variables))
+        from relation_detr_tpu.utils.class_names import load_class_names
+
+        class_names = load_class_names(args.checkpoint)
     fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
 
     if args.show_dir:
@@ -94,7 +98,8 @@ def main():
         logger.info(f"{fname}: {int(keep.sum())} detections")
         if args.show_dir:
             vis = plot_bounding_boxes_on_image(
-                raw, boxes[keep], scores[keep], labels[keep]
+                raw, boxes[keep], scores[keep], labels[keep],
+                class_names=class_names,
             )
             cv2.imwrite(os.path.join(args.show_dir, fname), vis)
 

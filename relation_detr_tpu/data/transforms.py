@@ -179,6 +179,51 @@ class Compose:
         return sample
 
 
+class ColorAugmentations:
+    """Photometric augs in the spirit of the ``strong_album`` preset
+    (/root/reference/transforms/presets.py:96-159): random brightness/
+    contrast, HSV jitter, blur, and JPEG compression — cv2-based, applied on
+    uint8 RGB before normalization."""
+
+    def __init__(self, p: float = 0.5, seed: int = 0):
+        self.p = p
+        self.rng = random.Random(seed)
+
+    def __call__(self, sample: Dict) -> Dict:
+        img = sample["image"]
+        assert img.dtype == np.uint8, "apply color augs before normalize()"
+        r = self.rng
+        if r.random() < self.p:  # brightness/contrast
+            alpha = 1.0 + r.uniform(-0.25, 0.25)
+            beta = r.uniform(-32, 32)
+            img = cv2.convertScaleAbs(img, alpha=alpha, beta=beta)
+        if r.random() < self.p:  # hue/saturation/value
+            hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int32)
+            hsv[..., 0] = (hsv[..., 0] + r.randint(-15, 15)) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] + r.randint(-25, 25), 0, 255)
+            hsv[..., 2] = np.clip(hsv[..., 2] + r.randint(-25, 25), 0, 255)
+            img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        if r.random() < 0.2:  # blur
+            k = r.choice((3, 5))
+            img = cv2.GaussianBlur(img, (k, k), 0)
+        if r.random() < 0.2:  # jpeg compression artifacts
+            q = r.randint(50, 95)
+            _, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+            img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        return {**sample, "image": img}
+
+
+class StrongAlbumPreset:
+    """strong_album equivalent: color augs + the detr geometric preset."""
+
+    def __init__(self, seed: int = 0, **detr_kwargs):
+        self.color = ColorAugmentations(seed=seed)
+        self.detr = DetrPreset(seed=seed, **detr_kwargs)
+
+    def __call__(self, sample: Dict) -> Dict:
+        return self.detr(self.color(sample))
+
+
 # preset registry mirroring `transforms.presets` usage in configs
 def detr(seed: int = 0) -> DetrPreset:
     return DetrPreset(seed=seed)
@@ -194,6 +239,17 @@ def lsj_1536(seed: int = 0) -> LSJPreset:
 
 def eval_800_1333() -> EvalPreset:
     return EvalPreset(800, 1333)
+
+
+def strong_album(seed: int = 0) -> StrongAlbumPreset:
+    return StrongAlbumPreset(seed=seed)
+
+
+def strong_album_1200_2000(seed: int = 0) -> StrongAlbumPreset:
+    """1200x2000 variant (presets.py:165-229, used by the FocalNet-L config)."""
+    scales = tuple(range(720, 1201, 48))
+    return StrongAlbumPreset(seed=seed, scales=scales, max_size=2000,
+                             crop_scales=(600, 750, 900), crop_range=(576, 900))
 
 
 def mosaic_detr(dataset=None, seed: int = 0) -> Compose:

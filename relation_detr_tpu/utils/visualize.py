@@ -32,7 +32,11 @@ def plot_bounding_boxes_on_image(
         x0, y0, x1, y1 = [int(round(float(v))) for v in box]
         cv2.rectangle(overlay, (x0, y0), (x1, y1), color, -1)
         cv2.rectangle(out, (x0, y0), (x1, y1), color, thickness)
-        name = class_names[int(label)] if class_names else str(int(label))
+        name = (
+            class_names[int(label)]
+            if class_names and 0 <= int(label) < len(class_names)
+            else str(int(label))
+        )
         text = f"{name}: {float(score):.2f}"
         (tw, th), _ = cv2.getTextSize(text, cv2.FONT_HERSHEY_SIMPLEX, 0.5, 1)
         cv2.rectangle(out, (x0, y0 - th - 4), (x0 + tw, y0), color, -1)

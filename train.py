@@ -57,10 +57,18 @@ def main():
     model = model_cfg.model
     criterion_cfg: CriterionConfig = model_cfg.criterion
 
+    # multi-host: initialize the jax distributed runtime when launched under
+    # a multi-process coordinator (replaces init_distributed_mode,
+    # /root/reference/util/utils.py:330-355)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
     name = os.path.splitext(os.path.basename(args.model_config or cfg.model_path))[0]
     output_dir = args.output_dir or cfg.get("output_dir") or f"checkpoints/{name}"
     logger = setup_logger(output=os.path.join(output_dir, "train.log"))
-    logger.info(f"devices: {jax.devices()}")
+    from relation_detr_tpu.utils.collect_env import collect_env_info
+
+    logger.info("environment:\n" + collect_env_info())
 
     mesh = create_mesh()
     n_chips = len(jax.devices())
@@ -167,10 +175,13 @@ def main():
                 logger.info("max steps reached")
                 break
         ckpt.save(epoch, state)
-        save_weights(
-            os.path.join(output_dir, "latest.npz"),
-            {"params": state.params, "batch_stats": state.batch_stats},
-        )
+        weights = {"params": state.params, "batch_stats": state.batch_stats}
+        class_names = cfg.get("class_names")
+        if class_names:  # ride class names in the checkpoint (misc.py:198-232)
+            from relation_detr_tpu.utils.class_names import encode_labels
+
+            weights["_classes_"] = encode_labels(class_names)
+        save_weights(os.path.join(output_dir, "latest.npz"), weights)
         if args.max_steps and global_step >= args.max_steps:
             break
     logger.info("training done")
