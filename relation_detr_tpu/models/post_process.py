@@ -44,3 +44,29 @@ def post_process(
         keep = jax.vmap(lambda b, s: nms_mask(b, s, nms_iou_threshold))(boxes, scores)
         valid = valid & keep
     return {"scores": scores, "labels": labels, "boxes": boxes, "valid": valid}
+
+
+def segmentation_post_process(
+    pred_logits: jnp.ndarray,  # (B, Q, K)
+    pred_masks: jnp.ndarray,  # (B, Q, h, w) low-res mask logits
+    target_hw,  # static (H, W) output size
+) -> jnp.ndarray:
+    """Per-class averaged mask decode -> (B, H, W) class map.
+
+    Mirrors SegmentationPostProcess (post_process.py:77-129): queries are
+    argmax-assigned to classes, same-class mask logits are sigmoid-averaged,
+    upsampled bilinearly, and argmaxed into a segmentation map. Static-shape
+    version: the per-class average uses a one-hot membership matrix instead
+    of ragged indexing.
+    """
+    bs, num_queries, num_classes = pred_logits.shape
+    q_class = jnp.argmax(pred_logits, axis=-1)  # (B, Q)
+    member = jax.nn.one_hot(q_class, num_classes, dtype=pred_masks.dtype)  # (B, Q, K)
+    probs = jax.nn.sigmoid(pred_masks)  # (B, Q, h, w)
+    sums = jnp.einsum("bqk,bqhw->bkhw", member, probs)
+    counts = jnp.maximum(member.sum(axis=1), 1.0)  # (B, K)
+    per_class = sums / counts[..., None, None]
+    per_class = jax.image.resize(
+        per_class, (bs, num_classes, *target_hw), method="bilinear"
+    )
+    return jnp.argmax(per_class, axis=1)

@@ -74,13 +74,16 @@ def build_optimizer(
     betas=(0.9, 0.999),
     max_norm: float = 0.1,
     low_lr_factor: float = 0.1,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW with grad clipping, lr groups, wd mask, and frozen params.
 
     Matches /root/reference/configs/train_config.py:41-46 +
     /root/reference/util/engine.py:56-58 (clip_grad_norm 0.1).
+    ``accumulate_steps`` > 1 mirrors accelerator.accumulate (engine.py:44)
+    via optax.MultiSteps.
     """
-    return optax.chain(
+    tx = optax.chain(
         optax.masked(optax.set_to_zero(), make_mask(is_frozen)),
         optax.clip_by_global_norm(max_norm),
         optax.scale_by_adam(b1=betas[0], b2=betas[1]),
@@ -90,6 +93,9 @@ def build_optimizer(
         optax.masked(optax.scale(low_lr_factor), make_mask(is_low_lr)),
         optax.scale_by_learning_rate(learning_rate_schedule),
     )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
 
 
 def warmup_multistep_schedule(

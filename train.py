@@ -43,6 +43,7 @@ def parse_args():
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--canvas", default="800,1344", help="fixed train canvas h,w")
     p.add_argument("--max-steps", type=int, default=None, help="debug: stop early")
+    p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--tensorboard", action="store_true", help="log to <output>/tb")
     p.add_argument("--profile-steps", default=None,
                    help="START,STOP step range to capture a jax profiler trace")
@@ -104,6 +105,7 @@ def main():
         weight_decay=cfg.get("weight_decay", 1e-4),
         betas=cfg.get("betas", (0.9, 0.999)),
         max_norm=cfg.get("max_norm", 0.1),
+        accumulate_steps=args.accumulate_steps,
     )
 
     # init params on a dummy batch
