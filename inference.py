@@ -85,13 +85,13 @@ def main():
         images[0, :h, :w] = sample["image"]
         mask[0, :h, :w] = False
         out = fwd(variables, jnp.asarray(images), jnp.asarray(mask))
+        # boxes are valid-region-normalized: scale by original size directly
+        oh, ow = rgb.shape[:2]
         det = post_process(
             out["pred_logits"], out["pred_boxes"],
-            jnp.asarray([[canvas[0], canvas[1]]], jnp.float32), 100,
+            jnp.asarray([[oh, ow]], jnp.float32), 100,
         )
-        oh, ow = rgb.shape[:2]
-        scale = np.asarray([ow / w, oh / h, ow / w, oh / h], np.float32)
-        boxes = np.asarray(det["boxes"][0]) * scale
+        boxes = np.asarray(det["boxes"][0])
         scores = np.asarray(det["scores"][0])
         labels = np.asarray(det["labels"][0])
         keep = scores > args.score_threshold

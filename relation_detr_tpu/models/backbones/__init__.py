@@ -5,11 +5,12 @@ from relation_detr_tpu.models.backbones.swin import SwinTransformerBackbone
 from relation_detr_tpu.models.backbones.vit import VisionTransformerBackbone
 
 
-def build_backbone(arch: str, name: str = "backbone"):
+def build_backbone(arch: str, name: str = "backbone", dtype=None):
     """Backbone factory keyed by arch string (mirrors the reference's
-    per-family BaseBackbone.__new__ factories)."""
+    per-family BaseBackbone.__new__ factories). ``dtype`` selects the compute
+    dtype for backbones that support it (params stay fp32)."""
     if arch.startswith("resnet"):
-        return ResNetBackbone(arch=arch, name=name)
+        return ResNetBackbone(arch=arch, dtype=dtype, name=name)
     if arch.startswith("swin"):
         return SwinTransformerBackbone(arch=arch, name=name)
     if arch.startswith("focalnet"):

@@ -12,7 +12,7 @@ BN folds to a single fused multiply-add that XLA merges into the convolution.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -30,7 +30,7 @@ ARCH_SETTINGS = {
 }
 
 
-def _conv(features, kernel, stride=1, name=None):
+def _conv(features, kernel, stride=1, name=None, dtype=None):
     pad = (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -39,6 +39,7 @@ def _conv(features, kernel, stride=1, name=None):
         padding=[(pad, pad), (pad, pad)],
         use_bias=False,
         kernel_init=kaiming_normal_out,
+        dtype=dtype,
         name=name,
     )
 
@@ -47,17 +48,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(self.features, 3, self.stride, name="conv1")(x)
+        out = _conv(self.features, 3, self.stride, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.features, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, 1, name="conv2")(out)
+        out = _conv(self.features, 3, 1, name="conv2", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.features, name="bn2")(out)
         if self.downsample:
-            identity = _conv(self.features, 1, self.stride, name="downsample_conv")(x)
+            identity = _conv(
+                self.features, 1, self.stride, name="downsample_conv", dtype=self.dtype
+            )(x)
             identity = FrozenBatchNorm(self.features, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -66,21 +70,25 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x
     stride: int = 1
     downsample: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(self.features, 1, 1, name="conv1")(x)
+        out = _conv(self.features, 1, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.features, name="bn1")(out)
         out = nn.relu(out)
         # stride on the 3x3 (torchvision v1.5 style, matching the reference)
-        out = _conv(self.features, 3, self.stride, name="conv2")(out)
+        out = _conv(self.features, 3, self.stride, name="conv2", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.features, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.features * 4, 1, 1, name="conv3")(out)
+        out = _conv(self.features * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.features * 4, name="bn3")(out)
         if self.downsample:
-            identity = _conv(self.features * 4, 1, self.stride, name="downsample_conv")(x)
+            identity = _conv(
+                self.features * 4, 1, self.stride, name="downsample_conv",
+                dtype=self.dtype,
+            )(x)
             identity = FrozenBatchNorm(self.features * 4, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
@@ -95,6 +103,9 @@ class ResNetBackbone(nn.Module):
 
     arch: str = "resnet50"
     return_indices: Tuple[int, ...] = (1, 2, 3)
+    # compute dtype for the conv stack (params stay fp32; bf16 halves HBM
+    # traffic and doubles MXU rate; stage outputs are cast back to fp32)
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def num_channels(self) -> Tuple[int, ...]:
@@ -108,8 +119,12 @@ class ResNetBackbone(nn.Module):
         block_name, stage_sizes = ARCH_SETTINGS[self.arch]
         block_cls = Bottleneck if block_name == "bottleneck" else BasicBlock
 
-        x = _conv(64, 7, 2, name="conv1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = _conv(64, 7, 2, name="conv1", dtype=self.dtype)(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -125,8 +140,11 @@ class ResNetBackbone(nn.Module):
                     features,
                     stride=stride,
                     downsample=needs_down,
+                    dtype=self.dtype,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x)
+                if self.dtype is not None:
+                    x = x.astype(self.dtype)
             if stage_idx in self.return_indices:
-                outputs.append(x)
+                outputs.append(x.astype(jnp.float32))
         return tuple(outputs)

@@ -67,9 +67,13 @@ class RelationDETR(nn.Module):
     denoising: Optional[str] = "cdn"  # "cdn" | "dn" | None
     dn_groups: int = 5  # for denoising == "dn"
     query_source: str = "tgt_embed"  # "tgt_embed" | "memory" | "learned_anchor"
+    backbone_dtype: Optional[str] = None  # e.g. "bfloat16" compute dtype
 
     def setup(self):
-        self.backbone = build_backbone(self.backbone_arch, name="backbone")
+        dtype = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
+        self.backbone = build_backbone(
+            self.backbone_arch, name="backbone", dtype=dtype
+        )
         self.neck = ChannelMapper(
             num_inputs=len(self.backbone.num_channels),
             out_channels=self.embed_dim,

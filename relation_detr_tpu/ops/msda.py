@@ -93,9 +93,10 @@ def multi_scale_deformable_attention(
         return _msda_pair_gather(
             value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
         )
-    if impl == "corner_pack":
+    if impl in ("corner_pack", "tile_select"):
         return _msda_corner_pack(
-            value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
+            value, spatial_shapes, sampling_locations, attention_weights,
+            gather_dtype, tile_select=impl == "tile_select",
         )
     in_dtype = value.dtype
     value = value.astype(gather_dtype)
@@ -154,6 +155,7 @@ def _msda_corner_pack(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     gather_dtype,
+    tile_select: bool = False,
 ) -> jnp.ndarray:
     """Corner-packed formulation — the TPU-tuned gather.
 
@@ -231,22 +233,47 @@ def _msda_corner_pack(
 
         idx = yc * w + xc  # (B, Q, H, P)
         idx = jnp.transpose(idx, (0, 2, 1, 3)).reshape(
-            bs * num_heads, num_queries * num_points, 1
+            bs * num_heads, num_queries * num_points
         )
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(2,),
-            collapsed_slice_dims=(1,),
-            start_index_map=(1,),
-            operand_batching_dims=(0,),
-            start_indices_batching_dims=(0,),
-        )
-        got = jax.lax.gather(
-            packed,
-            idx,
-            dnums,
-            slice_sizes=(1, 1, 4 * head_dim),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )  # (B*H, Q*P, 4D)
+        if tile_select:
+            # fetch the 8-row vreg tile containing the target row, then pick
+            # the row with a one-hot reduce — one aligned tile per request
+            n_rows = packed.shape[1]
+            pad_rows = (-n_rows) % 8
+            if pad_rows:
+                packed = jnp.pad(packed, ((0, 0), (0, pad_rows), (0, 0)))
+            blocks = packed.reshape(bs * num_heads, -1, 8, 4 * head_dim)
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(2, 3),
+                collapsed_slice_dims=(1,),
+                start_index_map=(1,),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            )
+            got8 = jax.lax.gather(
+                blocks,
+                (idx // 8)[..., None],
+                dnums,
+                slice_sizes=(1, 1, 8, 4 * head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (B*H, Q*P, 8, 4D)
+            onehot = jax.nn.one_hot(idx % 8, 8, dtype=got8.dtype)
+            got = jnp.einsum("nqrd,nqr->nqd", got8, onehot)
+        else:
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(2,),
+                collapsed_slice_dims=(1,),
+                start_index_map=(1,),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            )
+            got = jax.lax.gather(
+                packed,
+                idx[..., None],
+                dnums,
+                slice_sizes=(1, 1, 4 * head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (B*H, Q*P, 4D)
         got = got.reshape(bs, num_heads, num_queries, num_points, 4, head_dim)
         wfull = jnp.transpose(wslot, (0, 2, 1, 3, 4))  # (B, H, Q, P, 4)
         contrib = jnp.sum(got.astype(jnp.float32) * wfull[..., None], axis=(3, 4))

@@ -84,23 +84,21 @@ def main():
     all_predictions = []
     for batch in metric.log_every(loader, "eval"):
         out = fwd(variables, jnp.asarray(batch["images"]), jnp.asarray(batch["mask"]))
-        # rescale: model boxes are normalized to the canvas; convert to
-        # resized-image pixels then to original pixels
-        canvas_h, canvas_w = batch["images"].shape[1:3]
-        canvas_sizes = jnp.asarray(
-            np.repeat([[canvas_h, canvas_w]], len(batch["images"]), 0), jnp.float32
+        # model boxes are normalized to the VALID image region (coordinate 1.0
+        # = image edge, not canvas edge — valid-ratio convention of
+        # base_transformer.py:56-70), so scaling by the original size decodes
+        # directly (PostProcess semantics, post_process.py:40-43).
+        det = post_process(
+            out["pred_logits"], out["pred_boxes"],
+            jnp.asarray(batch["orig_sizes"], jnp.float32), topk,
         )
-        det = post_process(out["pred_logits"], out["pred_boxes"], canvas_sizes, topk)
         boxes = np.asarray(det["boxes"])
         scores = np.asarray(det["scores"])
         labels = np.asarray(det["labels"])
         for i in range(len(boxes)):
             if batch["image_ids"][i] < 0:
                 continue  # tail padding
-            ih, iw = batch["image_sizes"][i]
-            oh, ow = batch["orig_sizes"][i]
-            scale = np.asarray([ow / iw, oh / ih, ow / iw, oh / ih], np.float32)
-            b = boxes[i] * scale
+            b = boxes[i]
             evaluator.update_from_arrays(int(batch["image_ids"][i]), b, scores[i], labels[i])
             if args.result_json:
                 for bb, ss, ll in zip(b, scores[i], labels[i]):

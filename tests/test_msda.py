@@ -56,7 +56,7 @@ def make_inputs(seed, bs=2, num_queries=17, num_heads=4, head_dim=8, num_points=
     return value, spatial_shapes, locs, attn
 
 
-@pytest.mark.parametrize("impl", ["gather", "pair", "corner_pack"])
+@pytest.mark.parametrize("impl", ["gather", "pair", "corner_pack", "tile_select"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_msda_matches_grid_sample_oracle(seed, impl):
     value, shapes, locs, attn = make_inputs(seed)
@@ -75,7 +75,7 @@ def test_msda_matches_grid_sample_oracle(seed, impl):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["pair", "corner_pack"])
+@pytest.mark.parametrize("impl", ["pair", "corner_pack", "tile_select"])
 def test_msda_impl_grads_match_gather(impl):
     value, shapes, locs, attn = make_inputs(5, bs=1, num_queries=6)
 
