@@ -121,6 +121,36 @@ def collate(
     }
 
 
+def device_prefetch(iterator, mesh, keys=None, depth: int = 2):
+    """Overlap host->device transfer with compute (the reference's
+    DataPrefetcher side-stream role, util/collate_fn.py:17-49): keeps `depth`
+    batches resident on device ahead of the consumer."""
+    import collections
+
+    from relation_detr_tpu.parallel.mesh import shard_batch
+
+    queue_ = collections.deque()
+
+    def put(batch):
+        if keys is not None:
+            batch = {k: batch[k] for k in keys}
+        queue_.append(shard_batch(mesh, batch))
+
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue_:
+        out = queue_.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
+
+
 class DataLoader:
     """Simple multi-threaded map + prefetch loader over an indexable dataset."""
 

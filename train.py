@@ -44,6 +44,8 @@ def parse_args():
     p.add_argument("--canvas", default="800,1344", help="fixed train canvas h,w")
     p.add_argument("--max-steps", type=int, default=None, help="debug: stop early")
     p.add_argument("--accumulate-steps", type=int, default=1)
+    p.add_argument("--save-every-epochs", type=int, default=1,
+                   help="checkpoint every N epochs (the last epoch always saves)")
     p.add_argument("--tensorboard", action="store_true", help="log to <output>/tb")
     p.add_argument("--profile-steps", default=None,
                    help="START,STOP step range to capture a jax profiler trace")
@@ -149,14 +151,15 @@ def main():
     if args.profile_steps:
         profile_range = tuple(int(x) for x in args.profile_steps.split(","))
 
+    from relation_detr_tpu.data.loader import device_prefetch
+
+    batch_keys = ("images", "mask", "gt_labels", "gt_boxes", "gt_valid")
     global_step = 0
     for epoch in range(start_epoch, num_epochs):
         metric = MetricLogger(print_freq=cfg.get("print_freq", 50), logger=logger)
-        for batch in metric.log_every(loader, f"epoch {epoch}"):
-            device_batch = shard_batch(mesh, {
-                k: batch[k] for k in
-                ("images", "mask", "gt_labels", "gt_boxes", "gt_valid")
-            })
+        for device_batch in metric.log_every(
+            device_prefetch(loader, mesh, keys=batch_keys), f"epoch {epoch}"
+        ):
             if profile_range and global_step == profile_range[0]:
                 jax.profiler.start_trace(os.path.join(output_dir, "profile"))
             state, metrics = step_fn(state, device_batch, rng)
@@ -176,15 +179,21 @@ def main():
             if args.max_steps and global_step >= args.max_steps:
                 logger.info("max steps reached")
                 break
-        ckpt.save(epoch, state)
-        weights = {"params": state.params, "batch_stats": state.batch_stats}
-        class_names = cfg.get("class_names")
-        if class_names:  # ride class names in the checkpoint (misc.py:198-232)
-            from relation_detr_tpu.utils.class_names import encode_labels
+        stop_now = bool(args.max_steps and global_step >= args.max_steps)
+        if (
+            (epoch + 1) % args.save_every_epochs == 0
+            or epoch == num_epochs - 1
+            or stop_now
+        ):
+            ckpt.save(epoch, state)
+            weights = {"params": state.params, "batch_stats": state.batch_stats}
+            class_names = cfg.get("class_names")
+            if class_names:  # class names ride in the checkpoint (misc.py:198-232)
+                from relation_detr_tpu.utils.class_names import encode_labels
 
-            weights["_classes_"] = encode_labels(class_names)
-        save_weights(os.path.join(output_dir, "latest.npz"), weights)
-        if args.max_steps and global_step >= args.max_steps:
+                weights["_classes_"] = encode_labels(class_names)
+            save_weights(os.path.join(output_dir, "latest.npz"), weights)
+        if stop_now:
             break
     logger.info("training done")
 
