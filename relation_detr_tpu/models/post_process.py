@@ -25,7 +25,8 @@ def post_process(
     """Returns dict of (B, N) scores/labels, (B, N, 4) xyxy boxes, (B, N) valid."""
     bs, num_queries, num_classes = pred_logits.shape
     prob = jax.nn.sigmoid(pred_logits).reshape(bs, -1)
-    scores, topk_indexes = jax.lax.top_k(prob, select_box_nums_for_evaluation)
+    k = min(select_box_nums_for_evaluation, num_queries * num_classes)
+    scores, topk_indexes = jax.lax.top_k(prob, k)
     topk_boxes = topk_indexes // num_classes
     labels = topk_indexes % num_classes
     boxes = box_cxcywh_to_xyxy(pred_boxes)

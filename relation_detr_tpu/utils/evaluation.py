@@ -1,0 +1,48 @@
+"""Shared COCO evaluation loop (used by test.py and in-training eval).
+
+Mirrors evaluate_acc (/root/reference/util/engine.py:99-182): batched eval
+forward, top-k decode against original sizes, COCO accumulate/summarize.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relation_detr_tpu.data.loader import DataLoader
+from relation_detr_tpu.models.post_process import post_process
+from relation_detr_tpu.utils.coco_eval import CocoEvaluator
+
+
+def evaluate_model(
+    model,
+    variables,
+    dataset,
+    ann_file: str,
+    batch_size: int = 4,
+    topk: int = 300,
+    fwd=None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False)
+    if fwd is None:
+        fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
+    evaluator = CocoEvaluator(ann_file)
+    for batch in loader:
+        out = fwd(variables, jnp.asarray(batch["images"]), jnp.asarray(batch["mask"]))
+        det = post_process(
+            out["pred_logits"], out["pred_boxes"],
+            jnp.asarray(batch["orig_sizes"], jnp.float32), topk,
+        )
+        boxes = np.asarray(det["boxes"])
+        scores = np.asarray(det["scores"])
+        labels = np.asarray(det["labels"])
+        for i in range(len(boxes)):
+            if batch["image_ids"][i] < 0:
+                continue
+            evaluator.update_from_arrays(
+                int(batch["image_ids"][i]), boxes[i], scores[i], labels[i]
+            )
+    return evaluator.accumulate_and_summarize(verbose=verbose)

@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--checkpoint", default=None, help=".npz weight file")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--result-json", default=None, help="dump predictions json")
+    p.add_argument("--eval-json", default=None,
+                   help="re-score an existing predictions json without a model "
+                        "(mirrors reference test.py:130-172)")
     p.add_argument("--max-images", type=int, default=None)
     return p.parse_args()
 
@@ -41,12 +44,19 @@ def parse_args():
 def main():
     args = parse_args()
     logger = setup_logger()
-    model_cfg = Config(args.model_config)
-    model = model_cfg.model
-
     ann_file = os.path.join(
         args.coco_path, "annotations", f"instances_{args.split}.json"
     )
+    if args.eval_json:
+        evaluator = CocoEvaluator(ann_file)
+        with open(args.eval_json) as f:
+            evaluator.update(json.load(f))
+        stats = evaluator.accumulate_and_summarize()
+        logger.info(f"mAP: {stats['AP']:.4f}  AP50: {stats['AP50']:.4f}")
+        return
+
+    model_cfg = Config(args.model_config)
+    model = model_cfg.model
     dataset = CocoDetection(
         img_folder=os.path.join(args.coco_path, args.split),
         ann_file=ann_file,

@@ -46,6 +46,8 @@ def parse_args():
     p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--save-every-epochs", type=int, default=1,
                    help="checkpoint every N epochs (the last epoch always saves)")
+    p.add_argument("--eval-every-epochs", type=int, default=0,
+                   help="run COCO eval every N epochs (0 = off); tracks best AP")
     p.add_argument("--tensorboard", action="store_true", help="log to <output>/tb")
     p.add_argument("--profile-steps", default=None,
                    help="START,STOP step range to capture a jax profiler trace")
@@ -180,6 +182,31 @@ def main():
                 logger.info("max steps reached")
                 break
         stop_now = bool(args.max_steps and global_step >= args.max_steps)
+        if args.eval_every_epochs and (
+            (epoch + 1) % args.eval_every_epochs == 0 or epoch == num_epochs - 1
+        ):
+            # in-training COCO eval + best-AP checkpoints
+            # (engine.py evaluate_acc + HighestCheckpoint, utils.py:250-269)
+            from relation_detr_tpu.utils.evaluation import evaluate_model
+
+            variables_now = {"params": state.params, "batch_stats": state.batch_stats}
+            stats = evaluate_model(
+                model, variables_now, cfg.test_dataset(), cfg.test_ann_file,
+                topk=model_cfg.get("select_box_nums_for_evaluation", 300),
+                verbose=False,
+            )
+            logger.info(
+                f"epoch {epoch} eval: AP {stats['AP']:.4f} AP50 {stats['AP50']:.4f}"
+            )
+            if tb_writer is not None:
+                for k, v in stats.items():
+                    tb_writer.add_scalar(f"val/{k}", v, global_step)
+            if stats["AP"] > ckpt.best["ap"]:
+                save_weights(os.path.join(output_dir, "best_ap.npz"), variables_now)
+            if stats["AP50"] > ckpt.best["ap50"]:
+                save_weights(os.path.join(output_dir, "best_ap50.npz"), variables_now)
+            ckpt.best["ap"] = max(ckpt.best["ap"], stats["AP"])
+            ckpt.best["ap50"] = max(ckpt.best["ap50"], stats["AP50"])
         if (
             (epoch + 1) % args.save_every_epochs == 0
             or epoch == num_epochs - 1
