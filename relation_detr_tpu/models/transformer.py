@@ -43,8 +43,11 @@ class TransformerEncoderLayer(nn.Module):
     """MSDA self-attention + FFN (pre-add + LayerNorm).
 
     Spec: /root/reference/models/bricks/relation_transformer.py:208-276.
+    ``spatial_shapes`` is a module field (trace-time constant) so the layer
+    can be wrapped in nn.remat without static-argument plumbing.
     """
 
+    spatial_shapes: Tuple[Tuple[int, int], ...]
     embed_dim: int = 256
     d_ffn: int = 2048
     num_heads: int = 8
@@ -52,14 +55,14 @@ class TransformerEncoderLayer(nn.Module):
     num_points: int = 4
 
     @nn.compact
-    def __call__(self, query, query_pos, reference_points, spatial_shapes, key_padding_mask):
+    def __call__(self, query, query_pos, reference_points, key_padding_mask):
         attn = MultiScaleDeformableAttention(
             self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="self_attn"
         )(
             query=with_pos_embed(query, query_pos),
             reference_points=reference_points,
             value=query,
-            spatial_shapes=spatial_shapes,
+            spatial_shapes=self.spatial_shapes,
             key_padding_mask=key_padding_mask,
         )
         query = nn.LayerNorm(name="norm1")(query + attn)
@@ -72,6 +75,10 @@ class RelationTransformerEncoder(nn.Module):
     """Encoder with memory fusion over all layer outputs.
 
     Spec: /root/reference/models/bricks/relation_transformer.py:162-205.
+    Layers are rematerialized (jax.checkpoint) by default: without it the
+    backward pass stores every MSDA gather residual — 6 layers x ~16 x 87MB
+    activations (observed 49GB HBM ask at 800x1344) — with it, gathers are
+    recomputed in the backward sweep.
     """
 
     embed_dim: int = 256
@@ -81,19 +88,22 @@ class RelationTransformerEncoder(nn.Module):
     num_points: int = 4
     num_layers: int = 6
     memory_fusion: bool = True  # False => plain DINO encoder (dino_transformer.py:117-151)
+    remat: bool = True
 
     @nn.compact
     def __call__(self, query, query_pos, reference_points, spatial_shapes, key_padding_mask):
+        layer_cls = nn.remat(TransformerEncoderLayer) if self.remat else TransformerEncoderLayer
         states = [query]
         for i in range(self.num_layers):
-            query = TransformerEncoderLayer(
+            query = layer_cls(
+                tuple(spatial_shapes),
                 self.embed_dim,
                 self.d_ffn,
                 self.num_heads,
                 self.num_levels,
                 self.num_points,
                 name=f"layers_{i}",
-            )(query, query_pos, reference_points, spatial_shapes, key_padding_mask)
+            )(query, query_pos, reference_points, key_padding_mask)
             states.append(query)
         if not self.memory_fusion:
             return query

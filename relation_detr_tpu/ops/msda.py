@@ -33,8 +33,9 @@ import contextlib
 
 # framework-wide MSDA kernel selection (analogous to torch.backends flags);
 # modules read these defaults so configs/benchmarks can switch implementations
-# without re-plumbing every layer.
-_MSDA_DEFAULTS = {"impl": "gather", "gather_dtype": jnp.float32}
+# without re-plumbing every layer. corner_pack is numerically exact vs the
+# naive gather and 2.2x faster on TPU (PERF.md), so it is the default.
+_MSDA_DEFAULTS = {"impl": "corner_pack", "gather_dtype": jnp.float32}
 
 
 def set_msda_defaults(impl: str = None, gather_dtype=None):
