@@ -231,46 +231,56 @@ def criterion_forward(
     """Losses for final output + per-layer aux + encoder outputs.
 
     Mirrors SetCriterion.forward (set_criterion.py:133-174): every aux layer
-    is re-matched independently.
+    is re-matched independently. All output sets share (Q, K) shapes, so the
+    Hungarian solves are *batched over sets* with one vmapped call — the JV
+    while-loops of every set run in lockstep instead of serially (the
+    reference runs ~8 scipy solves per image per step).
     """
-    losses = dict(
-        calculate_loss(
-            cfg,
-            outputs["pred_logits"],
-            outputs["pred_boxes"],
-            gt_labels,
-            gt_boxes,
-            gt_valid,
-            num_boxes,
+    if cfg.mixed_match > 1:
+        num_queries = outputs["pred_logits"].shape[1]
+        gt_labels, gt_boxes, gt_valid = tile_targets(
+            gt_labels, gt_boxes, gt_valid, cfg.mixed_match, num_queries
         )
-    )
+
+    set_names = [""]
+    set_logits = [outputs["pred_logits"]]
+    set_boxes = [outputs["pred_boxes"]]
+    set_labels = [gt_labels]
     if cfg.aux_loss and "aux_outputs" in outputs:
         aux_logits = outputs["aux_outputs"]["pred_logits"]  # (layers-1, B, Q, K)
         for i in range(aux_logits.shape[0]):
-            aux = calculate_loss(
-                cfg,
-                aux_logits[i],
-                outputs["aux_outputs"]["pred_boxes"][i],
-                gt_labels,
-                gt_boxes,
-                gt_valid,
-                num_boxes,
-            )
-            losses.update({f"{k}_{i}": v for k, v in aux.items()})
+            set_names.append(f"_{i}")
+            set_logits.append(aux_logits[i])
+            set_boxes.append(outputs["aux_outputs"]["pred_boxes"][i])
+            set_labels.append(gt_labels)
     if "enc_outputs" in outputs:
-        enc_labels = (
+        set_names.append("_enc")
+        set_logits.append(outputs["enc_outputs"]["pred_logits"])
+        set_boxes.append(outputs["enc_outputs"]["pred_boxes"])
+        set_labels.append(
             jnp.zeros_like(gt_labels) if cfg.two_stage_binary_cls else gt_labels
         )
-        enc = calculate_loss(
+
+    stacked_logits = jnp.stack(set_logits)  # (S, B, Q, K)
+    stacked_boxes = jnp.stack(set_boxes)
+    stacked_labels = jnp.stack(set_labels)
+    match_all = jax.vmap(
+        lambda lg, bx, lb: compute_matching(cfg, lg, bx, lb, gt_boxes, gt_valid)
+    )(stacked_logits, stacked_boxes, stacked_labels)  # (S, B, G)
+
+    losses: Dict[str, jnp.ndarray] = {}
+    for i, suffix in enumerate(set_names):
+        set_loss = calculate_loss(
             cfg,
-            outputs["enc_outputs"]["pred_logits"],
-            outputs["enc_outputs"]["pred_boxes"],
-            enc_labels,
+            stacked_logits[i],
+            stacked_boxes[i],
+            stacked_labels[i],
             gt_boxes,
             gt_valid,
             num_boxes,
+            match=match_all[i],
         )
-        losses.update({f"{k}_enc": v for k, v in enc.items()})
+        losses.update({f"{k}{suffix}": v for k, v in set_loss.items()})
     return losses
 
 

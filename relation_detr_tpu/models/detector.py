@@ -68,6 +68,7 @@ class RelationDETR(nn.Module):
     dn_groups: int = 5  # for denoising == "dn"
     query_source: str = "tgt_embed"  # "tgt_embed" | "memory" | "learned_anchor"
     backbone_dtype: Optional[str] = None  # e.g. "bfloat16" compute dtype
+    dropout: float = 0.0  # transformer dropout (shipped configs use 0.0)
 
     def setup(self):
         dtype = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
@@ -94,6 +95,7 @@ class RelationDETR(nn.Module):
             decoder_use_relation=self.decoder_use_relation,
             query_source=self.query_source,
             learned_query_indicator=self.denoising == "dn",
+            dropout=self.dropout,
             name="transformer",
         )
         if self.denoising == "cdn":

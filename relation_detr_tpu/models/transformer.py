@@ -53,9 +53,13 @@ class TransformerEncoderLayer(nn.Module):
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 4
+    dropout: float = 0.0  # shipped configs use 0.0 (config:51); capability parity
 
     @nn.compact
-    def __call__(self, query, query_pos, reference_points, key_padding_mask):
+    def __call__(self, query, query_pos, reference_points, key_padding_mask,
+                 deterministic: bool = True):
+        drop = lambda x: nn.Dropout(self.dropout, name=None)(x, deterministic=deterministic) \
+            if self.dropout > 0 else x
         attn = MultiScaleDeformableAttention(
             self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="self_attn"
         )(
@@ -65,10 +69,12 @@ class TransformerEncoderLayer(nn.Module):
             spatial_shapes=self.spatial_shapes,
             key_padding_mask=key_padding_mask,
         )
-        query = nn.LayerNorm(name="norm1")(query + attn)
+        query = nn.LayerNorm(name="norm1")(query + drop(attn))
         ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(query)
-        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(nn.relu(ffn))
-        return nn.LayerNorm(name="norm2")(query + ffn)
+        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(
+            drop(nn.relu(ffn))
+        )
+        return nn.LayerNorm(name="norm2")(query + drop(ffn))
 
 
 class RelationTransformerEncoder(nn.Module):
@@ -89,10 +95,16 @@ class RelationTransformerEncoder(nn.Module):
     num_layers: int = 6
     memory_fusion: bool = True  # False => plain DINO encoder (dino_transformer.py:117-151)
     remat: bool = True
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, query, query_pos, reference_points, spatial_shapes, key_padding_mask):
-        layer_cls = nn.remat(TransformerEncoderLayer) if self.remat else TransformerEncoderLayer
+    def __call__(self, query, query_pos, reference_points, spatial_shapes,
+                 key_padding_mask, deterministic: bool = True):
+        layer_cls = (
+            nn.remat(TransformerEncoderLayer, static_argnums=(5,))
+            if self.remat
+            else TransformerEncoderLayer
+        )
         states = [query]
         for i in range(self.num_layers):
             query = layer_cls(
@@ -102,8 +114,9 @@ class RelationTransformerEncoder(nn.Module):
                 self.num_heads,
                 self.num_levels,
                 self.num_points,
+                self.dropout,
                 name=f"layers_{i}",
-            )(query, query_pos, reference_points, key_padding_mask)
+            )(query, query_pos, reference_points, key_padding_mask, deterministic)
             states.append(query)
         if not self.memory_fusion:
             return query
@@ -125,6 +138,7 @@ class TransformerDecoderLayer(nn.Module):
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 4
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -136,12 +150,15 @@ class TransformerDecoderLayer(nn.Module):
         spatial_shapes,
         key_padding_mask,
         self_attn_bias: Optional[jnp.ndarray],
+        deterministic: bool = True,
     ):
+        drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic) \
+            if self.dropout > 0 else x
         q_with_pos = with_pos_embed(query, query_pos)
         attn = MultiheadAttention(self.embed_dim, self.num_heads, name="self_attn")(
             query=q_with_pos, key=q_with_pos, value=query, attn_bias=self_attn_bias
         )
-        query = nn.LayerNorm(name="norm2")(query + attn)
+        query = nn.LayerNorm(name="norm2")(query + drop(attn))
 
         cross = MultiScaleDeformableAttention(
             self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="cross_attn"
@@ -152,11 +169,13 @@ class TransformerDecoderLayer(nn.Module):
             spatial_shapes=spatial_shapes,
             key_padding_mask=key_padding_mask,
         )
-        query = nn.LayerNorm(name="norm1")(query + cross)
+        query = nn.LayerNorm(name="norm1")(query + drop(cross))
 
         ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(query)
-        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(nn.relu(ffn))
-        return nn.LayerNorm(name="norm3")(query + ffn)
+        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(
+            drop(nn.relu(ffn))
+        )
+        return nn.LayerNorm(name="norm3")(query + drop(ffn))
 
 
 class RelationTransformerDecoder(nn.Module):
@@ -174,6 +193,7 @@ class RelationTransformerDecoder(nn.Module):
     num_points: int = 4
     num_layers: int = 6
     use_relation: bool = True  # False => plain DINO-style decoder without relation bias
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -186,6 +206,7 @@ class RelationTransformerDecoder(nn.Module):
         key_padding_mask,  # (B, S)
         attn_bias: Optional[jnp.ndarray] = None,  # (B|1, 1, Q, Q) CDN bias, -inf blocked
         skip_relation: bool = False,
+        deterministic: bool = True,
     ):
         ref_point_head = MLP(self.embed_dim, self.embed_dim, 2, name="ref_point_head")
         query_scale = MLP(self.embed_dim, self.embed_dim, 2, name="query_scale")
@@ -217,6 +238,7 @@ class RelationTransformerDecoder(nn.Module):
                 self.num_heads,
                 self.num_levels,
                 self.num_points,
+                self.dropout,
                 name=f"layers_{layer_idx}",
             )(
                 query=query,
@@ -226,6 +248,7 @@ class RelationTransformerDecoder(nn.Module):
                 spatial_shapes=spatial_shapes,
                 key_padding_mask=key_padding_mask,
                 self_attn_bias=pos_relation,
+                deterministic=deterministic,
             )
 
             normed = norm(query)
@@ -287,6 +310,7 @@ class RelationTransformer(nn.Module):
     hybrid_num_proposals: int = 1500
     encoder_memory_fusion: bool = True
     decoder_use_relation: bool = True
+    dropout: float = 0.0
     # model-family switches:
     # "tgt_embed"      — learned content queries + two-stage box proposals
     #                    (Relation-DETR / DINO, relation_transformer.py:99)
@@ -306,6 +330,7 @@ class RelationTransformer(nn.Module):
             self.num_points,
             self.num_encoder_layers,
             memory_fusion=self.encoder_memory_fusion,
+            dropout=self.dropout,
             name="encoder",
         )
         self.decoder = RelationTransformerDecoder(
@@ -317,6 +342,7 @@ class RelationTransformer(nn.Module):
             self.num_points,
             self.num_decoder_layers,
             use_relation=self.decoder_use_relation,
+            dropout=self.dropout,
             name="decoder",
         )
         self.level_embeds = self.param(
@@ -424,6 +450,7 @@ class RelationTransformer(nn.Module):
             reference_points=reference_points,
             spatial_shapes=spatial_shapes,
             key_padding_mask=mask_flatten,
+            deterministic=not train,
         )
 
         bs = feat_flatten.shape[0]
@@ -493,6 +520,7 @@ class RelationTransformer(nn.Module):
             valid_ratios=valid_ratios,
             key_padding_mask=mask_flatten,
             attn_bias=attn_bias,
+            deterministic=not train,
         )
 
         if train and self.hybrid_num_proposals > 0:
@@ -505,6 +533,7 @@ class RelationTransformer(nn.Module):
                 key_padding_mask=mask_flatten,
                 attn_bias=None,
                 skip_relation=True,
+                deterministic=not train,
             )
         else:
             hybrid_classes = hybrid_coords = None

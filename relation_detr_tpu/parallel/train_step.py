@@ -68,6 +68,7 @@ def make_train_step(
     data = NamedSharding(mesh, P("data"))
 
     def loss_fn(params, batch_stats, batch, rng):
+        dn_rng, dropout_rng = jax.random.split(rng)
         outputs = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"],
@@ -76,7 +77,7 @@ def make_train_step(
             batch["gt_boxes"],
             batch["gt_valid"],
             train=True,
-            rngs={"denoising": rng},
+            rngs={"denoising": dn_rng, "dropout": dropout_rng},
         )
         total, losses = relation_detr_loss(
             criterion_cfg,
