@@ -194,6 +194,7 @@ class RelationTransformerDecoder(nn.Module):
     num_layers: int = 6
     use_relation: bool = True  # False => plain DINO-style decoder without relation bias
     dropout: float = 0.0
+    remat: bool = True  # rematerialize layers in the backward pass
 
     @nn.compact
     def __call__(
@@ -232,7 +233,12 @@ class RelationTransformerDecoder(nn.Module):
             if layer_idx != 0:
                 query_pos = query_pos * query_scale(query)
 
-            query = TransformerDecoderLayer(
+            layer_cls = (
+                nn.remat(TransformerDecoderLayer, static_argnums=(5, 8))
+                if self.remat
+                else TransformerDecoderLayer
+            )
+            query = layer_cls(
                 self.embed_dim,
                 self.d_ffn,
                 self.num_heads,
@@ -241,14 +247,14 @@ class RelationTransformerDecoder(nn.Module):
                 self.dropout,
                 name=f"layers_{layer_idx}",
             )(
-                query=query,
-                query_pos=query_pos,
-                reference_points=ref_input,
-                value=value,
-                spatial_shapes=spatial_shapes,
-                key_padding_mask=key_padding_mask,
-                self_attn_bias=pos_relation,
-                deterministic=deterministic,
+                query,
+                query_pos,
+                ref_input,
+                value,
+                tuple(spatial_shapes),
+                key_padding_mask,
+                pos_relation,
+                deterministic,
             )
 
             normed = norm(query)

@@ -231,6 +231,13 @@ def _msda_corner_pack(
             bs, num_queries, num_heads, num_points, 4
         )
         wslot = wslot * attention_weights[:, :, :, lvl][..., None]
+        # head-major (B*H, Q*P, 4), then broadcast each slot weight across its
+        # 32-lane group so the weighted product stays in an (N, 128) layout
+        # (a separate (..., 4, 32) temp gets a 4x-padded T(4,128) layout)
+        wslot_hm = jnp.transpose(wslot, (0, 2, 1, 3, 4)).reshape(
+            bs * num_heads, num_queries * num_points, 4
+        )
+        wlanes = jnp.repeat(wslot_hm, head_dim, axis=-1)  # (B*H, Q*P, 4D)
 
         idx = yc * w + xc  # (B, Q, H, P)
         idx = jnp.transpose(idx, (0, 2, 1, 3)).reshape(
@@ -275,9 +282,11 @@ def _msda_corner_pack(
                 slice_sizes=(1, 1, 4 * head_dim),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
             )  # (B*H, Q*P, 4D)
-        got = got.reshape(bs, num_heads, num_queries, num_points, 4, head_dim)
-        wfull = jnp.transpose(wslot, (0, 2, 1, 3, 4))  # (B, H, Q, P, 4)
-        contrib = jnp.sum(got.astype(jnp.float32) * wfull[..., None], axis=(3, 4))
+        weighted = got.astype(jnp.float32) * wlanes  # (B*H, Q*P, 4D), 128-lane layout
+        contrib = jnp.sum(
+            weighted.reshape(bs, num_heads, num_queries, num_points * 4, head_dim),
+            axis=3,
+        )  # (B, H, Q, D)
         out = out + jnp.transpose(contrib, (0, 2, 1, 3))
 
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)

@@ -9,7 +9,6 @@ exactly DDP's all-reduce but fused by the compiler with the backward pass.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -15,7 +15,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from relation_detr_tpu.losses.criterion import CriterionConfig
 from relation_detr_tpu.parallel.mesh import create_mesh, shard_batch
