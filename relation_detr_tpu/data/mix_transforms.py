@@ -105,6 +105,43 @@ class Mosaic(BaseMixTransform):
         return {**sample, "image": canvas, "boxes": boxes, "labels": labels}
 
 
+class _RawCache:
+    """Small LRU-ish cache of raw samples for the Cached* variants
+    (mix_transform.py:119-168, 272-326)."""
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self.store = {}
+
+    def get(self, dataset, idx):
+        if idx not in self.store:
+            if len(self.store) >= self.capacity:
+                self.store.pop(next(iter(self.store)))
+            self.store[idx] = (
+                dataset.get_raw(idx) if hasattr(dataset, "get_raw") else dataset[idx]
+            )
+        s = self.store[idx]
+        return {**s, "boxes": s["boxes"].copy(), "labels": s["labels"].copy()}
+
+
+class CachedMosaic(Mosaic):
+    def __init__(self, *args, cache_capacity: int = 256, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.cache = _RawCache(cache_capacity)
+
+    def _random_sample(self):
+        return self.cache.get(self.dataset, self.rng.randrange(len(self.dataset)))
+
+
+class CachedMixUp(MixUp):
+    def __init__(self, *args, cache_capacity: int = 256, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.cache = _RawCache(cache_capacity)
+
+    def _random_sample(self):
+        return self.cache.get(self.dataset, self.rng.randrange(len(self.dataset)))
+
+
 class SimpleCopyPaste:
     """Paste another sample's box regions onto this image
     (box-level variant of /root/reference/transforms/simple_copy_paste.py)."""

@@ -1,0 +1,83 @@
+"""End-to-end CLI integration: train 1 step -> eval -> rescore, on a tiny
+synthetic COCO dataset. Slowest test in the suite (~5 min CPU) but exercises
+every public entry point as a subprocess, exactly as a user would."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    subprocess.run(
+        [sys.executable, "tests/make_synth_coco.py", str(root)],
+        check=True, capture_output=True,
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def train_cfg(synth, tmp_path_factory):
+    out = tmp_path_factory.mktemp("run")
+    cfg = tmp_path_factory.mktemp("cfg") / "train_config.py"
+    cfg.write_text(f'''
+from relation_detr_tpu.data import transforms
+from relation_detr_tpu.data.coco import CocoDetection
+
+num_epochs = 1
+batch_size = 2
+num_workers = 1
+print_freq = 1
+max_norm = 0.1
+output_dir = "{out}"
+coco_path = "{synth}"
+
+def train_dataset():
+    return CocoDetection(
+        img_folder=f"{{coco_path}}/train2017",
+        ann_file=f"{{coco_path}}/annotations/instances_train2017.json",
+        transforms=transforms.EvalPreset(224, 320),
+        train=True,
+    )
+
+model_path = "configs/relation_detr/relation_detr_resnet50_tiny_test.py"
+learning_rate = 1e-4
+weight_decay = 1e-4
+lr_milestones = (10,)
+class_names = ("bg", "red", "green", "blue")
+''')
+    return cfg, out
+
+
+def _run(cmd, timeout=560):
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
+                          env=env)
+
+
+def test_train_then_eval_then_rescore(synth, train_cfg):
+    cfg, out = train_cfg
+    r = _run([sys.executable, "train.py", "--config-file", str(cfg),
+              "--canvas", "320,320", "--max-steps", "1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    ckpt = os.path.join(out, "latest.npz")
+    assert os.path.exists(ckpt)
+
+    preds = os.path.join(out, "preds.json")
+    r = _run([sys.executable, "test.py", "--coco-path", str(synth),
+              "--model-config",
+              "configs/relation_detr/relation_detr_resnet50_tiny_test.py",
+              "--checkpoint", ckpt, "--batch-size", "2",
+              "--result-json", preds, "--max-images", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mAP" in r.stdout + r.stderr
+    assert os.path.exists(preds)
+    assert json.load(open(preds))
+
+    # rescoring an existing json requires no model
+    r = _run([sys.executable, "test.py", "--coco-path", str(synth),
+              "--eval-json", preds])
+    assert r.returncode == 0, r.stderr[-2000:]
