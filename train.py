@@ -40,7 +40,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None, help="per-chip batch size")
     p.add_argument("--resume", default=None)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--canvas", default="800,1344", help="fixed train canvas h,w")
+    p.add_argument("--canvas", default="800,1344",
+                   help="fixed train canvas 'h,w', or 'buckets' for "
+                        "aspect-ratio-grouped canvas buckets (one compile per bucket)")
     p.add_argument("--max-steps", type=int, default=None, help="debug: stop early")
     p.add_argument("--accumulate-steps", type=int, default=1)
     p.add_argument("--save-every-epochs", type=int, default=1,
@@ -79,7 +81,8 @@ def main():
     per_chip = args.batch_size or cfg.batch_size
     global_batch = per_chip * n_chips
     num_epochs = args.num_epochs or cfg.num_epochs
-    canvas = tuple(int(x) for x in args.canvas.split(","))
+    bucketed = args.canvas == "buckets"
+    canvas = (800, 1344) if bucketed else tuple(int(x) for x in args.canvas.split(","))
 
     dataset = cfg.train_dataset()
     from relation_detr_tpu.data.loader import DataLoader
@@ -90,7 +93,8 @@ def main():
         shuffle=True,
         seed=args.seed,
         num_workers=cfg.get("num_workers", 4),
-        fixed_canvas=canvas,
+        fixed_canvas=None if bucketed else canvas,
+        aspect_ratio_group_factor=3 if bucketed else -1,
         drop_last=True,
     )
     steps_per_epoch = len(loader)
