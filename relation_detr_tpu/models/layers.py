@@ -162,3 +162,37 @@ class ConvNormActivation(nn.Module):
 
 def with_pos_embed(tensor: jnp.ndarray, pos: Optional[jnp.ndarray]) -> jnp.ndarray:
     return tensor if pos is None else tensor + pos
+
+
+class SqueezeExcitation(nn.Module):
+    """Channel SE block (misc.py SqueezeExcitation; unused by shipped configs)."""
+
+    channels: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # NHWC
+        s = jnp.mean(x, axis=(1, 2))
+        s = nn.relu(nn.Dense(max(self.channels // self.reduction, 1), name="fc1")(s))
+        s = nn.sigmoid(nn.Dense(self.channels, name="fc2")(s))
+        return x * s[:, None, None, :]
+
+
+class ContextBlock(nn.Module):
+    """GCNet global-context block (basic.py:77-188; unused by shipped configs):
+    attention-pooled global context + channel transform added back."""
+
+    channels: int
+    ratio: float = 1.0 / 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # NHWC
+        b, h, w, c = x.shape
+        logits = nn.Dense(1, name="conv_mask")(x).reshape(b, h * w)
+        attn = jax.nn.softmax(logits, axis=-1)
+        context = jnp.einsum("bn,bnc->bc", attn, x.reshape(b, h * w, c))
+        hidden = max(int(self.channels * self.ratio), 1)
+        t = nn.Dense(hidden, name="transform_1")(context)
+        t = nn.relu(nn.LayerNorm(name="transform_norm")(t))
+        t = nn.Dense(self.channels, name="transform_2")(t)
+        return x + t[:, None, None, :]

@@ -98,6 +98,33 @@ def build_optimizer(
     return tx
 
 
+def basic_param(learning_rate_schedule, **kwargs):
+    """Uniform lr / wd for everything (param_dict.py:81-88)."""
+    return build_optimizer(learning_rate_schedule, low_lr_factor=1.0, **kwargs)
+
+
+def finetune_backbone_param(learning_rate_schedule, **kwargs):
+    """Backbone at lr*0.1 only (param_dict.py:91-98)."""
+    tx_kwargs = dict(kwargs)
+
+    def backbone_only(names):
+        return "backbone" in names
+
+    return optax.chain(
+        optax.masked(optax.set_to_zero(), make_mask(is_frozen)),
+        optax.clip_by_global_norm(tx_kwargs.pop("max_norm", 0.1)),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(tx_kwargs.pop("weight_decay", 1e-4)),
+        optax.masked(optax.scale(0.1), make_mask(backbone_only)),
+        optax.scale_by_learning_rate(learning_rate_schedule),
+    )
+
+
+def finetune_backbone_and_linear_projection(learning_rate_schedule, **kwargs):
+    """The reference default (param_dict.py:123-148) == build_optimizer."""
+    return build_optimizer(learning_rate_schedule, **kwargs)
+
+
 def warmup_multistep_schedule(
     base_lr: float,
     steps_per_epoch: int,
