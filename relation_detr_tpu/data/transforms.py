@@ -30,15 +30,17 @@ def hflip(sample: Dict) -> Dict:
     return {**sample, "image": np.ascontiguousarray(image), "boxes": boxes}
 
 
-def resize_shortest(sample: Dict, size: int, max_size: int = 1333) -> Dict:
+def resize_shortest(sample: Dict, size: int, max_size: int = 1333,
+                    antialias: bool = False) -> Dict:
     h, w = sample["image"].shape[:2]
     r = size / min(h, w)
     if max_size is not None:
         r = min(r, max_size / max(h, w))
     new_h, new_w = int(round(h * r)), int(round(w * r))
-    image = cv2.resize(
-        sample["image"], (new_w, new_h), interpolation=cv2.INTER_LINEAR
-    )
+    # the reference eval resize is antialiased (base_detector.py:75); for
+    # downscales INTER_AREA is cv2's antialiased path, INTER_LINEAR otherwise
+    interp = cv2.INTER_AREA if (antialias and r < 1.0) else cv2.INTER_LINEAR
+    image = cv2.resize(sample["image"], (new_w, new_h), interpolation=interp)
     boxes = sample["boxes"] * np.asarray(
         [new_w / w, new_h / h, new_w / w, new_h / h], np.float32
     )
@@ -114,7 +116,9 @@ class EvalPreset:
         self.max_size = max_size
 
     def __call__(self, sample: Dict) -> Dict:
-        return normalize(resize_shortest(sample, self.min_size, self.max_size))
+        return normalize(
+            resize_shortest(sample, self.min_size, self.max_size, antialias=True)
+        )
 
 
 def scale_jitter(sample: Dict, target_size, scale_range, rng: random.Random) -> Dict:
