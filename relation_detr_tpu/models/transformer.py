@@ -8,9 +8,9 @@ from the reference are TPU-driven, not behavioral:
 - the CDN attention mask arrives as an additive float bias (B|1, 1|H, Q, Q)
   with -inf for blocked pairs; the position-relation bias is merged into it
   rather than materializing bool masks.
-- dropout in the shipped configs is 0.0
-  (/root/reference/configs/relation_detr/relation_detr_resnet50_800_1333.py:51),
-  so layers are written dropout-free.
+- dropout defaults to 0.0 (the shipped configs' setting,
+  /root/reference/configs/relation_detr/relation_detr_resnet50_800_1333.py:51)
+  and is applied at the reference's three insertion points per layer when set.
 """
 from __future__ import annotations
 
