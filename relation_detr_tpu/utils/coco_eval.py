@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import json
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -129,7 +129,10 @@ class CocoEvaluator:
             "num_gt": int((~gt_ignore).sum()),
         }
 
-    def accumulate_and_summarize(self, verbose: bool = True) -> Dict[str, float]:
+    def accumulate_and_summarize(
+        self, verbose: bool = True, per_category: bool = False,
+        category_names: Optional[Dict[int, str]] = None,
+    ) -> Dict[str, float]:
         num_thr = len(IOU_THRS)
         precision = -np.ones((num_thr, len(RECALL_THRS), len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS)))
         recall = -np.ones((num_thr, len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS)))
@@ -203,4 +206,22 @@ class CocoEvaluator:
         if verbose:
             for k, v in stats.items():
                 print(f"{k:>6}: {v:.4f}")
+        if per_category:
+            # per-category AP/AR table (engine.py:148-176 parity)
+            ai = list(AREA_RANGES).index("all")
+            mi = MAX_DETS.index(100)
+            rows = []
+            for ci, cat_id in enumerate(self.cat_ids):
+                p = precision[:, :, ci, ai, mi]
+                r = recall[:, ci, ai, mi]
+                ap = float(np.mean(p[p > -1])) if (p > -1).any() else float("nan")
+                ar = float(np.mean(r[r > -1])) if (r > -1).any() else float("nan")
+                name = (category_names or {}).get(cat_id, str(cat_id))
+                rows.append((name, ap, ar))
+                stats[f"AP_{name}"] = ap
+            if verbose:
+                width = max(len(n) for n, _, _ in rows)
+                print(f"{'category':>{width}} | {'AP':>7} | {'AR':>7}")
+                for name, ap, ar in rows:
+                    print(f"{name:>{width}} | {ap:7.4f} | {ar:7.4f}")
         return stats

@@ -38,7 +38,17 @@ def parse_args():
                    help="re-score an existing predictions json without a model "
                         "(mirrors reference test.py:130-172)")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--per-category", action="store_true",
+                   help="print the per-category AP/AR table")
     return p.parse_args()
+
+
+def _category_names(ann_file):
+    try:
+        with open(ann_file) as f:
+            return {c["id"]: c["name"] for c in json.load(f)["categories"]}
+    except (OSError, KeyError, ValueError):
+        return None
 
 
 def main():
@@ -51,7 +61,10 @@ def main():
         evaluator = CocoEvaluator(ann_file)
         with open(args.eval_json) as f:
             evaluator.update(json.load(f))
-        stats = evaluator.accumulate_and_summarize()
+        stats = evaluator.accumulate_and_summarize(
+            per_category=args.per_category,
+            category_names=_category_names(ann_file),
+        )
         logger.info(f"mAP: {stats['AP']:.4f}  AP50: {stats['AP50']:.4f}")
         return
 
@@ -120,7 +133,9 @@ def main():
                         "score": float(ss),
                     })
 
-    stats = evaluator.accumulate_and_summarize()
+    stats = evaluator.accumulate_and_summarize(
+        per_category=args.per_category, category_names=_category_names(ann_file)
+    )
     logger.info(f"mAP: {stats['AP']:.4f}  AP50: {stats['AP50']:.4f}")
     if args.result_json:
         with open(args.result_json, "w") as f:
