@@ -53,7 +53,13 @@ class_names = ("bg", "red", "green", "blue")
 
 
 def _run(cmd, timeout=560):
-    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    # drop the axon sitecustomize from PYTHONPATH: these subprocesses are
+    # CPU-only, and the TPU plugin's claim thread can SIGABRT at exit when
+    # another process holds the chip (observed flake)
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":") if "axon" not in p
+    )
     return subprocess.run(cmd, capture_output=True, text=True, timeout=timeout,
                           env=env)
 
