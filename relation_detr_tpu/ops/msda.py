@@ -27,15 +27,18 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 import contextlib
 
 # framework-wide MSDA kernel selection (analogous to torch.backends flags);
 # modules read these defaults so configs/benchmarks can switch implementations
-# without re-plumbing every layer. corner_pack is numerically exact vs the
-# naive gather and 2.2x faster on TPU (PERF.md), so it is the default.
-_MSDA_DEFAULTS = {"impl": "corner_pack", "gather_dtype": jnp.float32}
+# without re-plumbing every layer. "auto" routes encoder-layout calls
+# (queries == raster tokens) to the tiled MXU kernel and everything else to
+# corner_pack, which is numerically exact vs the naive gather for arbitrary
+# locations (PERF.md has the measured ladder).
+_MSDA_DEFAULTS = {"impl": "auto", "gather_dtype": jnp.float32}
 
 
 def set_msda_defaults(impl: str = None, gather_dtype=None):
@@ -64,6 +67,84 @@ def _level_start_indices(spatial_shapes: Sequence[Tuple[int, int]]):
     return starts, acc
 
 
+class _TileGeometry:
+    """Static tiling of the multi-level token raster for `_msda_tiled`.
+
+    Computed once per (spatial_shapes, tile_tokens, halos) at trace time with
+    numpy; everything here is a compile-time constant, so the tiled kernel
+    stays fully static under jit.
+    """
+
+    __slots__ = ("grid", "ntiles", "T", "perm", "slot_valid", "inv", "patches", "M")
+
+    def __init__(self, spatial_shapes, tile_tokens, halos):
+        h0, w0 = spatial_shapes[0]
+        gy = max(1, -(-h0 // tile_tokens[0]))
+        gx = max(1, -(-w0 // tile_tokens[1]))
+        self.grid = (gy, gx)
+        nt = gy * gx
+        self.ntiles = nt
+
+        # token -> tile assignment by normalized raster position
+        tile_of = []
+        for h, w in spatial_shapes:
+            ty = np.minimum(((np.arange(h) + 0.5) / h * gy).astype(np.int64), gy - 1)
+            tx = np.minimum(((np.arange(w) + 0.5) / w * gx).astype(np.int64), gx - 1)
+            tile_of.append((ty[:, None] * gx + tx[None, :]).ravel())
+        tile_of = np.concatenate(tile_of)
+        total = tile_of.shape[0]
+
+        counts = np.bincount(tile_of, minlength=nt)
+        T = int(-(-int(counts.max()) // 8) * 8)  # pad slots to a sublane multiple
+        self.T = T
+        perm = np.zeros((nt, T), np.int32)
+        slot_valid = np.zeros((nt, T), bool)
+        order = np.argsort(tile_of, kind="stable")
+        fill = np.zeros(nt, np.int64)
+        tiles_sorted = tile_of[order]
+        slots = np.zeros(total, np.int64)
+        # slot within tile = running count (tokens of one tile are contiguous
+        # in `order` thanks to the stable sort)
+        boundaries = np.flatnonzero(np.diff(tiles_sorted, prepend=-1))
+        seg_start = np.repeat(boundaries, np.diff(np.append(boundaries, total)))
+        slots = np.arange(total) - seg_start
+        perm[tiles_sorted, slots] = order.astype(np.int32)
+        slot_valid[tiles_sorted, slots] = True
+        self.perm = perm
+        self.slot_valid = slot_valid
+        inv = np.zeros(total, np.int32)
+        inv[order] = (tiles_sorted * T + slots).astype(np.int32)
+        self.inv = inv
+
+        # per-level patch boxes: uniform (Ph, Pw) per level, per-tile static
+        # (y0, x0) clamped to the level interior
+        patches = []
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            r = halos[min(lvl, len(halos) - 1)]
+            th, tw = h / gy, w / gx
+            ph = min(h, int(np.ceil(th)) + 2 * r + 2)
+            pw = min(w, int(np.ceil(tw)) + 2 * r + 2)
+            y0 = np.clip(np.floor(np.arange(gy) * th).astype(np.int64) - r, 0, h - ph)
+            x0 = np.clip(np.floor(np.arange(gx) * tw).astype(np.int64) - r, 0, w - pw)
+            y0s = np.repeat(y0, gx).astype(np.int32)
+            x0s = np.tile(x0, gy).astype(np.int32)
+            patches.append((y0s, x0s, ph, pw))
+        self.patches = patches
+        self.M = sum(ph * pw for _, _, ph, pw in patches)
+
+
+_TILE_GEO_CACHE = {}
+
+
+def _tile_geometry(spatial_shapes, tile_tokens, halos):
+    key = (tuple(spatial_shapes), tuple(tile_tokens), tuple(halos))
+    geo = _TILE_GEO_CACHE.get(key)
+    if geo is None:
+        geo = _TileGeometry(spatial_shapes, tile_tokens, halos)
+        _TILE_GEO_CACHE[key] = geo
+    return geo
+
+
 def multi_scale_deformable_attention(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -90,6 +171,16 @@ def multi_scale_deformable_attention(
     """
     impl = impl or _MSDA_DEFAULTS["impl"]
     gather_dtype = gather_dtype or _MSDA_DEFAULTS["gather_dtype"]
+    if impl == "auto":
+        # encoder layout (queries == raster tokens): tiled matmul kernel;
+        # decoder (sparse queries, no locality): corner-packed gather
+        _, total = _level_start_indices(spatial_shapes)
+        impl = "tiled" if sampling_locations.shape[1] == total else "corner_pack"
+    if impl in ("tiled", "tiled_xla"):
+        return _msda_tiled(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            gather_dtype, use_pallas=impl == "tiled",
+        )
     if impl == "pair":
         return _msda_pair_gather(
             value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
@@ -148,6 +239,156 @@ def multi_scale_deformable_attention(
         )
 
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
+
+
+def _msda_tiled(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    gather_dtype,
+    tile_tokens: Tuple[int, int] = (10, 8),
+    halos: Sequence[int] = (8, 6, 4, 3),
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Tiled one-hot-matmul formulation — the TPU encoder kernel.
+
+    The encoder is the only place MSDA is hot (Q = S = 22k tokens at
+    800x1344), and there every query's sampling locations cluster around the
+    query's own raster position (reference points are grid centers,
+    base_transformer.py:52-91; offsets are initialized <= num_points texels,
+    ms_deform_attn.py:266-278 in the reference). This kernel exploits that
+    locality to replace the per-point HBM gather (issue-bound at ~15 ns per
+    request, PERF.md) with MXU matmuls:
+
+      1. tokens are grouped into static normalized-space tiles (trace-time
+         geometry — `_TileGeometry`);
+      2. per (tile, level) a static value patch covering the tile footprint
+         plus a halo is sliced out (210 big contiguous slabs instead of 2.9M
+         row gathers);
+      3. the bilinear corner weights x attention weights are scattered into a
+         per-level one-hot matrix A of shape (T, M_l) via VPU compares;
+      4. the sample-and-reduce becomes  out = sum_l  A_l @ patch_l  — batched
+         (B, tile, head) matmuls on the MXU. The backward is A^T @ g and
+         g @ patch^T: the CUDA col2im scatter-add
+         (ms_deform_im2col_cuda.cuh:290-911) becomes a matmul too.
+
+    Exactness: identical to grid_sample(align_corners=False, zeros) whenever
+    every sampled corner lies within its tile's patch (true when per-level
+    offsets stay within the halo, by construction at init). Corners beyond
+    the halo are clamped to the patch border (documented approximation —
+    border sampling); corners outside the *level* contribute exactly zero.
+    Requires Q == sum(h*w) with queries in raster token order (the encoder
+    layout); callers use `impl="auto"` which falls back to corner_pack
+    otherwise.
+    """
+    in_dtype = value.dtype
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+    bs, total_v, num_heads, head_dim = value.shape
+    _, num_queries, _, num_levels, num_points, _ = sampling_locations.shape
+    starts, total = _level_start_indices(spatial_shapes)
+    assert value.shape[1] == total
+    assert num_queries == total, (
+        "tiled MSDA requires queries == raster tokens (encoder layout); "
+        f"got Q={num_queries}, S={total}"
+    )
+
+    geo = _tile_geometry(spatial_shapes, tile_tokens, halos)
+    nt, T = geo.ntiles, geo.T
+    permf = jnp.asarray(geo.perm.reshape(-1))  # (nt*T,)
+
+    # query-side tensors into (B, nt, H, T, ...) tile layout
+    loc_t = jnp.take(sampling_locations, permf, axis=1).reshape(
+        bs, nt, T, num_heads, num_levels, num_points, 2
+    )
+    loc_t = jnp.transpose(loc_t, (0, 1, 3, 2, 4, 5, 6))  # (B,nt,H,T,L,P,2)
+    attn_t = jnp.take(attention_weights, permf, axis=1).reshape(
+        bs, nt, T, num_heads, num_levels, num_points
+    )
+    attn_t = jnp.transpose(attn_t, (0, 1, 3, 2, 4, 5))  # (B,nt,H,T,L,P)
+
+    vflat = value.astype(gather_dtype).reshape(bs, total, num_heads * head_dim)
+    out = jnp.zeros((bs, nt, T, num_heads, head_dim), jnp.float32)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        y0s, x0s, ph, pw = geo.patches[lvl]
+        vl = jax.lax.dynamic_slice_in_dim(vflat, starts[lvl], h * w, axis=1)
+        vl = vl.reshape(bs, h, w, num_heads * head_dim)
+        # one static-index gather of nt contiguous (Ph, Pw, C) slabs
+        starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3, 4),
+            collapsed_slice_dims=(),
+            start_index_map=(1, 2),
+        )
+        patch = jax.lax.gather(
+            vl,
+            starts_np,
+            dnums,
+            slice_sizes=(bs, ph, pw, num_heads * head_dim),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )  # (nt, B, Ph, Pw, C)
+        patch = jnp.transpose(patch, (1, 0, 2, 3, 4)).reshape(
+            bs, nt, ph * pw, num_heads, head_dim
+        )
+
+        by = jnp.asarray(y0s).reshape(1, nt, 1, 1, 1)
+        bx = jnp.asarray(x0s).reshape(1, nt, 1, 1, 1)
+        loc = loc_t[..., lvl, :, :]  # (B,nt,H,T,P,2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        attn = attn_t[..., lvl, :]  # (B,nt,H,T,P)
+
+        # per-entry patch-row index + folded weight (E = P * 4 corners)
+        ms, ws = [], []
+        for dy, wy in ((0, 1.0 - fy), (1, fy)):
+            cy = y0i + dy
+            ly = jnp.clip(cy - by, 0, ph - 1)
+            vy = (cy >= 0) & (cy < h)
+            for dx, wx in ((0, 1.0 - fx), (1, fx)):
+                cx = x0i + dx
+                lx = jnp.clip(cx - bx, 0, pw - 1)
+                ms.append(ly * pw + lx)  # (B,nt,H,T,P)
+                ws.append(attn * wy * wx * ((cx >= 0) & (cx < w) & vy))
+        m_all = jnp.concatenate(ms, axis=-1)  # (B,nt,H,T,E)
+        w_all = jnp.concatenate(ws, axis=-1)
+
+        if use_pallas:
+            from relation_detr_tpu.ops.msda_pallas import tiled_matmul_core
+
+            contrib = tiled_matmul_core(
+                jnp.transpose(m_all, (0, 1, 2, 4, 3)),  # (B,nt,H,E,T) rows
+                jnp.transpose(w_all, (0, 1, 2, 4, 3)),
+                patch.astype(jnp.float32).reshape(
+                    bs, nt, ph * pw, num_heads * head_dim
+                ),
+                (num_heads, head_dim),
+            )  # (B,nt,T,C)
+            out = out + contrib.reshape(bs, nt, T, num_heads, head_dim)
+        else:
+            m_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, 1, 1, ph * pw), 5
+            )
+            a_mat = jnp.sum(
+                w_all[..., None] * (m_all[..., None] == m_iota), axis=-2
+            )  # (B,nt,H,T,M)
+            contrib = jnp.einsum(
+                "bnhtm,bnmhd->bnhtd",
+                a_mat,
+                patch.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
+
+    out = out.reshape(bs, nt * T, num_heads * head_dim)
+    out = jnp.take(out, jnp.asarray(geo.inv), axis=1)  # (B, Q, H*D)
+    return out.astype(in_dtype)
 
 
 def _msda_corner_pack(

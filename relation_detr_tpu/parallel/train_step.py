@@ -25,9 +25,26 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    # device-side non-finite tracking: count of skipped steps and the step id
+    # of the first one (-1 = none). Lets the host detect divergence without a
+    # per-step device->host sync (the reference syncs every step to check,
+    # engine.py:72-75; we instead *skip* bad updates in-graph and report).
+    nonfinite_count: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )
+    first_nonfinite_step: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.full((), -1, jnp.int32)
+    )
 
     def tree_flatten(self):
-        return (self.step, self.params, self.batch_stats, self.opt_state), None
+        return (
+            self.step,
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            self.nonfinite_count,
+            self.first_nonfinite_step,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -96,12 +113,30 @@ def make_train_step(
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {"total_loss": total, **losses}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        grad_norm = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+
+        # skip non-finite updates in-graph (no garbage step is ever applied;
+        # parity+ vs the reference's per-step host check, engine.py:72-75)
+        finite = jnp.isfinite(total) & jnp.isfinite(grad_norm)
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new, old
+        )
+        nonfinite_count = state.nonfinite_count + jnp.where(finite, 0, 1)
+        first_nonfinite = jnp.where(
+            (~finite) & (state.first_nonfinite_step < 0),
+            state.step,
+            state.first_nonfinite_step,
+        )
+        metrics["nonfinite_count"] = nonfinite_count
+        metrics["first_nonfinite_step"] = first_nonfinite
         new_state = TrainState(
             step=state.step + 1,
-            params=new_params,
+            params=keep(new_params, state.params),
             batch_stats=state.batch_stats,
-            opt_state=new_opt_state,
+            opt_state=keep(new_opt_state, state.opt_state),
+            nonfinite_count=nonfinite_count,
+            first_nonfinite_step=first_nonfinite,
         )
         return new_state, metrics
 

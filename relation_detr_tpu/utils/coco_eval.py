@@ -77,57 +77,76 @@ class CocoEvaluator:
                 }
             )
 
-    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
+    def _evaluate_img(self, img_id, cat_id):
+        """One pass per (image, category): IoU computed once, greedy matching
+        per area range vectorized over all IoU thresholds. Per-maxDet variants
+        are derived in accumulate by slicing the score-ordered prefix
+        (pycocotools COCOeval.evaluateImg/accumulate structure).
+
+        Returns None when the (image, category) pair has no gts and no dets,
+        else a dict with per-area-range match/ignore arrays for the top
+        max(MAX_DETS) detections.
+        """
         gts = self.gts.get((img_id, cat_id), [])
         dets = sorted(
             self.dets.get((img_id, cat_id), []), key=lambda d: -d["score"]
-        )[:max_det]
+        )[: MAX_DETS[-1]]
         if not gts and not dets:
             return None
         gt_boxes = np.asarray([g["bbox"] for g in gts], np.float64).reshape(-1, 4)
         gt_crowd = np.asarray([g.get("iscrowd", 0) for g in gts], bool)
-        gt_area = np.asarray([g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts])
-        gt_ignore = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
-        # sort gts: non-ignored first (pycocotools order)
-        order = np.argsort(gt_ignore, kind="stable")
-        gt_boxes, gt_crowd, gt_ignore = gt_boxes[order], gt_crowd[order], gt_ignore[order]
-
+        gt_area = np.asarray(
+            [g.get("area", g["bbox"][2] * g["bbox"][3]) for g in gts]
+        ).reshape(-1)
         det_boxes = np.asarray([d["bbox"] for d in dets], np.float64).reshape(-1, 4)
         det_scores = np.asarray([d["score"] for d in dets])
-        ious = _iou_xywh(det_boxes, gt_boxes, gt_crowd)
-
-        num_thr = len(IOU_THRS)
-        gt_match = np.full((num_thr, len(gts)), -1, np.int64)
-        det_match = np.full((num_thr, len(dets)), -1, np.int64)
-        det_ignore = np.zeros((num_thr, len(dets)), bool)
-        for t, thr in enumerate(IOU_THRS):
-            for d in range(len(dets)):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for g in range(len(gts)):
-                    if gt_match[t, g] >= 0 and not gt_crowd[g]:
-                        continue
-                    # stop at ignored gts if a real match was found
-                    if best_g >= 0 and not gt_ignore[best_g] and gt_ignore[g]:
-                        break
-                    if ious[d, g] < best_iou:
-                        continue
-                    best_iou = ious[d, g]
-                    best_g = g
-                if best_g < 0:
-                    continue
-                det_ignore[t, d] = gt_ignore[best_g]
-                det_match[t, d] = best_g
-                gt_match[t, best_g] = d
         det_area = det_boxes[:, 2] * det_boxes[:, 3]
-        det_out_of_range = (det_area < area_rng[0]) | (det_area > area_rng[1])
-        det_ignore = det_ignore | ((det_match == -1) & det_out_of_range[None])
-        return {
-            "det_scores": det_scores,
-            "det_matched": det_match >= 0,
-            "det_ignore": det_ignore,
-            "num_gt": int((~gt_ignore).sum()),
-        }
+        ious_raw = _iou_xywh(det_boxes, gt_boxes, gt_crowd)
+
+        num_thr, num_det, num_gt = len(IOU_THRS), len(dets), len(gts)
+        thr_col = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # (T, 1)
+        out = {"det_scores": det_scores, "by_area": {}}
+        for aname, area_rng in AREA_RANGES.items():
+            gt_ignore = gt_crowd | (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+            # gts sorted ignore-last (stable), per pycocotools
+            order = np.argsort(gt_ignore, kind="stable")
+            gi, gc = gt_ignore[order], gt_crowd[order]
+            ious = ious_raw[:, order]
+            n_real = int((~gi).sum())
+
+            gt_match = np.full((num_thr, num_gt), -1, np.int64)
+            det_match = np.full((num_thr, num_det), -1, np.int64)
+            det_ignore = np.zeros((num_thr, num_det), bool)
+            trange = np.arange(num_thr)
+            for d in range(num_det if num_gt else 0):
+                iou_d = ious[d]
+                # a used non-crowd gt is unavailable; crowd gts stay matchable
+                avail = (gt_match < 0) | gc[None, :]
+                cand = avail & (iou_d[None] >= thr_col)
+                # phase 1: non-ignored gts; phase 2 (only if none): ignored.
+                # ties go to the LAST scanned gt within a phase (the reference
+                # greedy updates on iou >= current best).
+                m = np.full(num_thr, -1, np.int64)
+                for lo, hi in ((0, n_real), (n_real, num_gt)):
+                    if hi == lo:
+                        continue
+                    seg = np.where(cand[:, lo:hi], iou_d[None, lo:hi], -np.inf)
+                    rev = seg[:, ::-1]
+                    idx = (hi - lo - 1) - np.argmax(rev, axis=1) + lo
+                    has = cand[:, lo:hi].any(axis=1) & (m < 0)
+                    m = np.where(has, idx, m)
+                hit = m >= 0
+                det_match[hit, d] = m[hit]
+                det_ignore[hit, d] = gi[m[hit]]
+                gt_match[trange[hit], m[hit]] = d
+            det_oor = (det_area < area_rng[0]) | (det_area > area_rng[1])
+            det_ignore = det_ignore | ((det_match == -1) & det_oor[None])
+            out["by_area"][aname] = {
+                "det_matched": det_match >= 0,
+                "det_ignore": det_ignore,
+                "num_gt": n_real,
+            }
+        return out
 
     def accumulate_and_summarize(
         self, verbose: bool = True, per_category: bool = False,
@@ -138,42 +157,44 @@ class CocoEvaluator:
         recall = -np.ones((num_thr, len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS)))
 
         for ci, cat_id in enumerate(self.cat_ids):
-            for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+            # one matching pass per (image, category); maxDet variants are
+            # prefix slices of the per-image score-ordered detections
+            results = [
+                r for img_id in self.img_ids
+                if (r := self._evaluate_img(img_id, cat_id)) is not None
+            ]
+            if not results:
+                continue
+            for ai, aname in enumerate(AREA_RANGES):
+                num_gt = sum(r["by_area"][aname]["num_gt"] for r in results)
+                if num_gt == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    results = [
-                        r
-                        for img_id in self.img_ids
-                        if (r := self._evaluate_img(img_id, cat_id, arng, max_det))
-                        is not None
-                    ]
-                    if not results:
-                        continue
-                    scores = np.concatenate([r["det_scores"] for r in results])
-                    matched = np.concatenate([r["det_matched"] for r in results], axis=1)
-                    ignored = np.concatenate([r["det_ignore"] for r in results], axis=1)
-                    num_gt = sum(r["num_gt"] for r in results)
-                    if num_gt == 0:
-                        continue
+                    scores = np.concatenate(
+                        [r["det_scores"][:max_det] for r in results])
+                    matched = np.concatenate(
+                        [r["by_area"][aname]["det_matched"][:, :max_det]
+                         for r in results], axis=1)
+                    ignored = np.concatenate(
+                        [r["by_area"][aname]["det_ignore"][:, :max_det]
+                         for r in results], axis=1)
                     order = np.argsort(-scores, kind="mergesort")
                     matched, ignored = matched[:, order], ignored[:, order]
                     tps = matched & ~ignored
                     fps = ~matched & ~ignored
                     tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
                     fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
+                    rc_all = tp_cum / num_gt
+                    pr_all = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
+                    # monotone precision envelope, vectorized over thresholds
+                    pr_env = np.maximum.accumulate(pr_all[:, ::-1], axis=1)[:, ::-1]
                     for t in range(num_thr):
-                        tp, fp = tp_cum[t], fp_cum[t]
-                        rc = tp / num_gt
-                        pr = tp / np.maximum(tp + fp, 1e-12)
+                        rc, pr = rc_all[t], pr_env[t]
                         recall[t, ci, ai, mi] = rc[-1] if len(rc) else 0.0
-                        # make precision monotonically decreasing
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            pr[i - 1] = max(pr[i - 1], pr[i])
                         inds = np.searchsorted(rc, RECALL_THRS, side="left")
+                        valid = inds < len(pr)
                         q = np.zeros(len(RECALL_THRS))
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
+                        q[valid] = pr[inds[valid]]
                         precision[t, :, ci, ai, mi] = q
 
         def _summary(ap=True, iou_thr=None, area="all", max_det=100):

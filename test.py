@@ -99,7 +99,9 @@ def main():
     if args.checkpoint:
         variables = load_weights(args.checkpoint, dict(variables))
 
-    fwd = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
+    from relation_detr_tpu.utils.evaluation import make_eval_fwd
+
+    fwd = make_eval_fwd(model, args.batch_size)  # all chips when batch divides
     topk = model_cfg.get("select_box_nums_for_evaluation", 300)
 
     evaluator = CocoEvaluator(ann_file)

@@ -87,3 +87,186 @@ def test_update_from_arrays_xyxy(tiny_coco):
     )
     stats = ev.accumulate_and_summarize(verbose=False)
     assert stats["AP"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Property test: randomized scenes vs a literal transcription of the
+# pycocotools greedy matcher (triple loop, obviously-correct-by-inspection).
+# Stress cases: crowd gts (expand IoU), area-range ignores, score ties,
+# IoU ties (last-scanned-gt-wins), detections matching ignored gts.
+# ---------------------------------------------------------------------------
+from relation_detr_tpu.utils.coco_eval import (  # noqa: E402
+    AREA_RANGES,
+    IOU_THRS,
+    MAX_DETS,
+    RECALL_THRS,
+    _iou_xywh,
+)
+
+
+def _brute_force_eval(gts_by_key, dets_by_key, img_ids, cat_ids):
+    """Literal pycocotools COCOeval bbox protocol (evaluateImg + accumulate),
+    written as straight loops."""
+    num_thr = len(IOU_THRS)
+    precision = -np.ones((num_thr, len(RECALL_THRS), len(cat_ids),
+                          len(AREA_RANGES), len(MAX_DETS)))
+    recall = -np.ones((num_thr, len(cat_ids), len(AREA_RANGES), len(MAX_DETS)))
+    for ci, cat_id in enumerate(cat_ids):
+        for ai, (aname, arng) in enumerate(AREA_RANGES.items()):
+            per_img = []
+            for img_id in img_ids:
+                gts = gts_by_key.get((img_id, cat_id), [])
+                dets = sorted(dets_by_key.get((img_id, cat_id), []),
+                              key=lambda d: -d["score"])[:MAX_DETS[-1]]
+                if not gts and not dets:
+                    continue
+                crowd = np.array([g.get("iscrowd", 0) for g in gts], bool)
+                area = np.array([g.get("area", g["bbox"][2] * g["bbox"][3])
+                                 for g in gts])
+                gtIg = crowd | (area < arng[0]) | (area > arng[1])
+                order = np.argsort(gtIg, kind="stable")
+                gts = [gts[i] for i in order]
+                gtIg = gtIg[order]
+                crowd = crowd[order]
+                gt_boxes = np.array([g["bbox"] for g in gts]).reshape(-1, 4)
+                det_boxes = np.array([d["bbox"] for d in dets]).reshape(-1, 4)
+                ious = _iou_xywh(det_boxes, gt_boxes, crowd)
+                G, D = len(gts), len(dets)
+                gtm = -np.ones((num_thr, G), int)
+                dtm = -np.ones((num_thr, D), int)
+                dtIg = np.zeros((num_thr, D), bool)
+                for t, thr in enumerate(IOU_THRS):
+                    for d in range(D):
+                        iou = min(thr, 1 - 1e-10)
+                        m = -1
+                        for g in range(G):
+                            if gtm[t, g] >= 0 and not crowd[g]:
+                                continue
+                            if m > -1 and not gtIg[m] and gtIg[g]:
+                                break
+                            if ious[d, g] < iou:
+                                continue
+                            iou = ious[d, g]
+                            m = g
+                        if m == -1:
+                            continue
+                        dtIg[t, d] = gtIg[m]
+                        dtm[t, d] = m
+                        gtm[t, m] = d
+                d_area = det_boxes[:, 2] * det_boxes[:, 3]
+                oor = (d_area < arng[0]) | (d_area > arng[1])
+                dtIg = dtIg | ((dtm == -1) & oor[None])
+                per_img.append({
+                    "scores": np.array([d["score"] for d in dets]),
+                    "dtm": dtm, "dtIg": dtIg, "num_gt": int((~gtIg).sum()),
+                })
+            if not per_img:
+                continue
+            num_gt = sum(r["num_gt"] for r in per_img)
+            if num_gt == 0:
+                continue
+            for mi, max_det in enumerate(MAX_DETS):
+                scores = np.concatenate([r["scores"][:max_det] for r in per_img])
+                dtm = np.concatenate([r["dtm"][:, :max_det] for r in per_img], 1)
+                dtIg = np.concatenate([r["dtIg"][:, :max_det] for r in per_img], 1)
+                o = np.argsort(-scores, kind="mergesort")
+                dtm, dtIg = dtm[:, o], dtIg[:, o]
+                tps = (dtm >= 0) & ~dtIg
+                fps = (dtm == -1) & ~dtIg
+                tp = np.cumsum(tps, 1).astype(float)
+                fp = np.cumsum(fps, 1).astype(float)
+                for t in range(num_thr):
+                    rc = tp[t] / num_gt
+                    pr = (tp[t] / np.maximum(tp[t] + fp[t], 1e-12)).tolist()
+                    recall[t, ci, ai, mi] = rc[-1] if len(rc) else 0.0
+                    for i in range(len(pr) - 1, 0, -1):
+                        pr[i - 1] = max(pr[i - 1], pr[i])
+                    q = np.zeros(len(RECALL_THRS))
+                    for ri, pi in enumerate(np.searchsorted(rc, RECALL_THRS,
+                                                            side="left")):
+                        if pi < len(pr):
+                            q[ri] = pr[pi]
+                    precision[t, :, ci, ai, mi] = q
+    return precision, recall
+
+
+def _random_scene(seed, n_imgs=4, n_cats=3):
+    rng = np.random.RandomState(seed)
+    images, annotations, ann_id = [], [], 1
+    dets = []
+    for img_id in range(1, n_imgs + 1):
+        images.append({"id": img_id, "width": 640, "height": 480})
+        for cat in range(1, n_cats + 1):
+            for _ in range(rng.randint(0, 5)):
+                # mix of tiny/medium/large boxes so area ranges bite
+                w = float(rng.choice([8, 40, 150]) * rng.uniform(0.5, 1.5))
+                h = float(rng.choice([8, 40, 150]) * rng.uniform(0.5, 1.5))
+                x = float(rng.uniform(0, 640 - w))
+                y = float(rng.uniform(0, 480 - h))
+                annotations.append({
+                    "id": ann_id, "image_id": img_id, "category_id": cat,
+                    "bbox": [x, y, w, h], "area": w * h,
+                    "iscrowd": int(rng.rand() < 0.25),
+                })
+                ann_id += 1
+            for _ in range(rng.randint(0, 8)):
+                if annotations and rng.rand() < 0.6:
+                    # perturb a gt box (creates near-threshold IoUs and
+                    # occasional exact ties when perturbation is zero)
+                    src = annotations[rng.randint(len(annotations))]["bbox"]
+                    jitter = rng.choice([0.0, 2.0, 8.0, 25.0])
+                    box = [src[0] + rng.randn() * jitter,
+                           src[1] + rng.randn() * jitter,
+                           max(4.0, src[2] + rng.randn() * jitter),
+                           max(4.0, src[3] + rng.randn() * jitter)]
+                else:
+                    box = [float(rng.uniform(0, 600)), float(rng.uniform(0, 440)),
+                           float(rng.uniform(4, 150)), float(rng.uniform(4, 150))]
+                # quantized scores force tie-breaking stability
+                dets.append({"image_id": img_id, "category_id": cat,
+                             "bbox": [float(v) for v in box],
+                             "score": round(float(rng.rand()), 1)})
+    return images, annotations, dets
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_randomized_scene_matches_brute_force(tmp_path, seed):
+    images, annotations, dets = _random_scene(seed)
+    cats = [{"id": c, "name": str(c)} for c in (1, 2, 3)]
+    ann_file = tmp_path / f"rand{seed}.json"
+    ann_file.write_text(json.dumps(
+        {"images": images, "annotations": annotations, "categories": cats}))
+    ev = CocoEvaluator(str(ann_file))
+    ev.update(dets)
+    stats = ev.accumulate_and_summarize(verbose=False)
+
+    from collections import defaultdict
+    gts_by_key = defaultdict(list)
+    for a in annotations:
+        gts_by_key[(a["image_id"], a["category_id"])].append(a)
+    dets_by_key = defaultdict(list)
+    for d in dets:
+        dets_by_key[(d["image_id"], d["category_id"])].append(d)
+    precision, recall = _brute_force_eval(
+        gts_by_key, dets_by_key, [i["id"] for i in images], [1, 2, 3])
+
+    def summ(ap, iou=None, area="all", max_det=100):
+        ai = list(AREA_RANGES).index(area)
+        mi = MAX_DETS.index(max_det)
+        s = precision[:, :, :, ai, mi] if ap else recall[:, :, ai, mi]
+        if iou is not None:
+            t = int(np.where(np.isclose(IOU_THRS, iou))[0][0])
+            s = s[t:t + 1]
+        s = s[s > -1]
+        return float(np.mean(s)) if s.size else -1.0
+
+    expected = {
+        "AP": summ(True), "AP50": summ(True, 0.5), "AP75": summ(True, 0.75),
+        "APs": summ(True, area="small"), "APm": summ(True, area="medium"),
+        "APl": summ(True, area="large"), "AR1": summ(False, max_det=1),
+        "AR10": summ(False, max_det=10), "AR100": summ(False),
+        "ARs": summ(False, area="small"), "ARm": summ(False, area="medium"),
+        "ARl": summ(False, area="large"),
+    }
+    for key, want in expected.items():
+        assert stats[key] == pytest.approx(want, abs=1e-9), key

@@ -56,6 +56,33 @@ def make_inputs(seed, bs=2, num_queries=17, num_heads=4, head_dim=8, num_points=
     return value, spatial_shapes, locs, attn
 
 
+def make_encoder_inputs(seed, bs=2, num_heads=4, head_dim=8, num_points=4,
+                        spatial_shapes=((13, 17), (7, 9), (4, 5), (2, 3)),
+                        max_offset=2.5):
+    """Encoder-layout inputs: Q == S tokens in raster order, sampling
+    locations = token grid centers + per-level offsets <= max_offset texels
+    (the locality regime the tiled kernel is exact in)."""
+    rng = np.random.RandomState(seed)
+    total = sum(h * w for h, w in spatial_shapes)
+    num_levels = len(spatial_shapes)
+    value = rng.randn(bs, total, num_heads, head_dim).astype(np.float32)
+    refs = []
+    for h, w in spatial_shapes:
+        ys, xs = (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w
+        refs.append(np.stack(np.meshgrid(xs, ys), -1).reshape(-1, 2))
+    refs = np.concatenate(refs, 0)  # (S, 2) (x, y)
+    norm = np.array([(w, h) for h, w in spatial_shapes], np.float32)
+    off = rng.uniform(-max_offset, max_offset,
+                      (bs, total, num_heads, num_levels, num_points, 2)).astype(np.float32)
+    locs = (refs[None, :, None, None, None, :] + off / norm[None, None, None, :, None, :]
+            ).astype(np.float32)
+    attn = rng.rand(bs, total, num_heads, num_levels, num_points).astype(np.float32)
+    attn = attn / attn.reshape(bs, total, num_heads, -1).sum(-1).reshape(
+        bs, total, num_heads, 1, 1
+    )
+    return value, spatial_shapes, locs, attn
+
+
 @pytest.mark.parametrize("impl", ["gather", "pair", "corner_pack", "tile_select"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_msda_matches_grid_sample_oracle(seed, impl):
@@ -73,6 +100,81 @@ def test_msda_matches_grid_sample_oracle(seed, impl):
         torch.from_numpy(attn),
     ).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_msda_tiled_matches_grid_sample_oracle(seed):
+    """Tiled MXU kernel vs the torch oracle in its exactness regime
+    (encoder layout, offsets within the halo)."""
+    value, shapes, locs, attn = make_encoder_inputs(seed)
+    ours = np.asarray(
+        multi_scale_deformable_attention(
+            jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn),
+            impl="tiled",
+        )
+    )
+    ref = torch_msda_oracle(
+        torch.from_numpy(value), shapes,
+        torch.from_numpy(locs), torch.from_numpy(attn),
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_auto_dispatch():
+    """auto == tiled for encoder layout (Q == S), == corner_pack otherwise."""
+    value, shapes, locs, attn = make_encoder_inputs(3, bs=1)
+    a = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn), impl="auto")
+    t = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn), impl="tiled")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(t))
+
+    value, shapes, locs, attn = make_inputs(3, num_queries=9)
+    a = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn), impl="auto")
+    c = multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn),
+        impl="corner_pack")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_msda_tiled_out_of_image_zero_and_clamp():
+    """Corners outside the level contribute exactly zero (grid_sample zeros
+    padding); offsets far beyond the halo clamp to the patch border without
+    producing non-finite output."""
+    value, shapes, locs, attn = make_encoder_inputs(4, bs=1)
+    locs_oob = np.asarray(locs).copy()
+    locs_oob[:, ::3] = 1.7  # fully outside the image
+    ref = torch_msda_oracle(
+        torch.from_numpy(value), shapes,
+        torch.from_numpy(locs_oob), torch.from_numpy(attn)).numpy()
+    ours = np.asarray(multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs_oob), jnp.asarray(attn),
+        impl="tiled"))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    # in-image but far from the query: clamped (approximate), must be finite
+    locs_far = np.asarray(locs).copy()
+    locs_far[:, 1::3] = 1.0 - locs_far[:, 1::3]
+    out = np.asarray(multi_scale_deformable_attention(
+        jnp.asarray(value), shapes, jnp.asarray(locs_far), jnp.asarray(attn),
+        impl="tiled"))
+    assert np.isfinite(out).all()
+
+
+def test_msda_tiled_grads_match_gather():
+    value, shapes, locs, attn = make_encoder_inputs(5, bs=1, num_heads=2)
+
+    def loss(v, l, a, i):
+        return jnp.sum(
+            multi_scale_deformable_attention(v, shapes, l, a, impl=i) ** 2
+        )
+
+    args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args, "gather")
+    g_new = jax.grad(loss, argnums=(0, 1, 2))(*args, "tiled")
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
 @pytest.mark.parametrize("impl", ["pair", "corner_pack", "tile_select"])

@@ -60,6 +60,95 @@ def test_8dev_matches_1dev(setup):
     )
 
 
+def test_nonfinite_step_skipped(setup):
+    """A batch that produces a non-finite loss must not update params, and the
+    device-side counter must record the skipped step (train_step.py)."""
+    model, cfg, batch, variables = setup
+    bad = dict(batch)
+    bad["images"] = batch["images"].at[0, 0, 0, 0].set(jnp.nan)
+    mesh = create_mesh(jax.devices()[:8])
+    tx = build_optimizer(optax.constant_schedule(1e-4))
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, cfg, tx, mesh, donate=False)
+    new_state, metrics = step(state, shard_batch(mesh, bad), jax.random.key(7))
+    assert int(metrics["nonfinite_count"]) == 1
+    assert int(metrics["first_nonfinite_step"]) == 0
+    for old, new in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    # a following good step proceeds normally and updates params
+    state2, m2 = step(new_state, shard_batch(mesh, batch), jax.random.key(8))
+    assert int(m2["nonfinite_count"]) == 1  # cumulative, no new skips
+    assert int(m2["first_nonfinite_step"]) == 0
+    assert np.isfinite(float(m2["total_loss"]))
+    changed = sum(
+        float(jnp.abs(n - o).max()) > 0
+        for o, n in zip(jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(state2.params))
+    )
+    assert changed > 50
+
+
+def test_sharded_eval_matches_single_device(setup):
+    """make_eval_fwd shards the eval forward over the mesh when the batch
+    divides the device count; results must equal single-device eval."""
+    from relation_detr_tpu.utils.evaluation import make_eval_fwd
+
+    model, _, batch, variables = setup
+    fwd_sharded = make_eval_fwd(model, batch_size=8)
+    fwd_single = jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
+    out_s = fwd_sharded(variables, batch["images"], batch["mask"])
+    out_1 = fwd_single(variables, batch["images"], batch["mask"])
+    np.testing.assert_allclose(
+        np.asarray(out_s["pred_logits"]), np.asarray(out_1["pred_logits"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["pred_boxes"]), np.asarray(out_1["pred_boxes"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("save_devs,restore_devs", [(8, 1), (1, 8)])
+def test_cross_mesh_checkpoint_resume(setup, tmp_path, save_devs, restore_devs):
+    """Save a training state on one mesh size and restore on another
+    (orbax resharding) — the first thing a real user hits when moving between
+    a pod slice and a single chip."""
+    from relation_detr_tpu.utils.checkpoint import CheckpointManager
+
+    model, cfg, batch, variables = setup
+    tx = build_optimizer(optax.constant_schedule(1e-4))
+
+    def make_state(n_devs):
+        mesh = create_mesh(jax.devices()[:n_devs])
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, cfg, tx, mesh, donate=False)
+        sub = {k: v[: max(n_devs, 1)] for k, v in batch.items()}
+        state, _ = step(state, shard_batch(mesh, sub), jax.random.key(3))
+        return state
+
+    saved = make_state(save_devs)
+    ckpt = CheckpointManager(str(tmp_path / f"ck_{save_devs}to{restore_devs}"))
+    ckpt.save(0, saved)
+
+    # fresh template laid out for the restore mesh
+    restore_mesh = create_mesh(jax.devices()[:restore_devs])
+    template = create_train_state(variables, tx)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(restore_mesh, P())
+    template = jax.tree.map(lambda x: jax.device_put(x, repl), template)
+    restored = ckpt.restore(template)
+    for a, b in zip(jax.tree.leaves(saved.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(saved.step) == 1
+    # restored state can take a step on the new mesh
+    step = make_train_step(model, cfg, tx, restore_mesh, donate=False)
+    sub = {k: v[: max(restore_devs, 1)] for k, v in batch.items()}
+    _, metrics = step(restored, shard_batch(restore_mesh, sub), jax.random.key(4))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
 def test_params_update_and_frozen_stay(setup):
     model, cfg, batch, variables = setup
     state_new, _ = _run_step(model, cfg, batch, variables, jax.devices()[:8])

@@ -175,6 +175,15 @@ def main():
             if global_step % cfg.get("print_freq", 50) == 0:
                 host = {k: float(v) for k, v in metrics.items()
                         if k in ("total_loss", "grad_norm", "loss_class", "loss_bbox", "loss_giou")}
+                # non-finite steps are skipped in-graph (train_step.py) so no
+                # garbage update is ever applied; abort with the exact step id
+                if int(metrics["nonfinite_count"]) > 0:
+                    raise RuntimeError(
+                        f"non-finite loss first hit at step "
+                        f"{int(metrics['first_nonfinite_step'])} "
+                        f"({int(metrics['nonfinite_count'])} skipped); "
+                        f"latest metrics: {host}"
+                    )
                 if not math.isfinite(host["total_loss"]):
                     raise RuntimeError(f"non-finite loss at step {global_step}: {host}")
                 metric.update(**host)
