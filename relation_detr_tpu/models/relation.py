@@ -35,6 +35,49 @@ def box_rel_encoding(
     return jnp.concatenate([delta_xy, delta_wh], axis=-1)
 
 
+class _PosProj(nn.Module):
+    """Sine-embed + 1x1-conv projection + ReLU, with a fused Pallas path.
+
+    Owns the same {kernel, bias} params as the nn.Dense it replaces (child
+    name "pos_proj" keeps checkpoint/converter paths identical). On TPU the
+    sine features are computed in VMEM by ops/relation_pallas.py instead of
+    materializing the (B, N1, N2, 4*embed_dim) tensor in HBM.
+    """
+
+    embed_dim: int
+    num_heads: int
+    temperature: float
+    scale: float
+
+    @nn.compact
+    def __call__(self, rel: jnp.ndarray) -> jnp.ndarray:
+        in_feats = rel.shape[-1] * self.embed_dim
+        # torch Conv2d default init (kaiming_uniform(a=sqrt(5)) over fan_in)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (in_feats, self.num_heads),
+        )
+        bias = self.param(
+            "bias", torch_linear_bias_init(in_feats), (self.num_heads,)
+        )
+        from relation_detr_tpu.ops import relation_pallas
+
+        if jax.default_backend() == "tpu" and relation_pallas.fused_relation_enabled():
+            return relation_pallas.fused_relation_bias(
+                rel, kernel, bias, self.embed_dim, self.temperature, self.scale
+            )
+        pos = get_sine_pos_embed(
+            rel,
+            num_pos_feats=self.embed_dim,
+            temperature=self.temperature,
+            scale=self.scale,
+            exchange_xy=False,
+        )  # (B, N1, N2, 4 * embed_dim)
+        out = nn.relu(pos @ kernel + bias)
+        return jnp.transpose(out, (0, 3, 1, 2))  # (B, H, N1, N2)
+
+
 class PositionRelationEmbedding(nn.Module):
     """Box-pair geometry -> per-head additive attention bias (B, H, N1, N2)."""
 
@@ -50,23 +93,11 @@ class PositionRelationEmbedding(nn.Module):
         rel = box_rel_encoding(
             jax.lax.stop_gradient(src_boxes), jax.lax.stop_gradient(tgt_boxes)
         )
-        pos = get_sine_pos_embed(
-            rel,
-            num_pos_feats=self.embed_dim,
-            temperature=self.temperature,
-            scale=self.scale,
-            exchange_xy=False,
-        )  # (B, N1, N2, 4 * embed_dim)
-        pos = jax.lax.stop_gradient(pos)
-        # 1x1 conv + ReLU == Dense over the feature axis. torch Conv2d default
-        # init (kaiming_uniform(a=sqrt(5)) over fan_in = 4*embed_dim).
-        bias = nn.Dense(
+        rel = jax.lax.stop_gradient(rel)
+        return _PosProj(
+            self.embed_dim,
             self.num_heads,
+            self.temperature,
+            self.scale,
             name="pos_proj",
-            kernel_init=nn.initializers.variance_scaling(
-                1.0 / 3.0, "fan_in", "uniform"
-            ),
-            bias_init=torch_linear_bias_init(4 * self.embed_dim),
-        )(pos)
-        bias = nn.relu(bias)
-        return jnp.transpose(bias, (0, 3, 1, 2))  # (B, H, N1, N2)
+        )(rel)

@@ -38,20 +38,63 @@ import contextlib
 # (queries == raster tokens) to the tiled MXU kernel and everything else to
 # corner_pack, which is numerically exact vs the naive gather for arbitrary
 # locations (PERF.md has the measured ladder).
-_MSDA_DEFAULTS = {"impl": "auto", "gather_dtype": jnp.float32}
+_MSDA_DEFAULTS = {
+    "impl": "auto",
+    "gather_dtype": jnp.float32,
+    # tiled-kernel tunables: dtype of the A-matrix/patch einsum operands
+    # (fp32 = exact; bf16 measured slower — see PERF.md), and the per-level
+    # halo radii that bound the exact-sampling region. (4,3,2,2) is the
+    # measured sweet spot (93.5 -> 69.6 ms on the flagship vs (8,6,4,3));
+    # offsets beyond the halo border-clamp (use tiled_clamp_fraction to
+    # check a trained checkpoint, and set_msda_defaults / --msda-halos to
+    # widen when the clamped fraction is non-negligible).
+    "tiled_dtype": jnp.float32,
+    "tiled_halos": (4, 3, 2, 2),
+    "tiled_tile_tokens": (10, 8),
+    "tiled_margin": 2,
+    # corner_pack levels with <= this many rows use a one-hot MXU matmul
+    # instead of a row gather (exact; beats the issue-bound gather there)
+    "dense_level_rows": 1536,
+}
 
 
-def set_msda_defaults(impl: str = None, gather_dtype=None):
+def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
+                      tiled_halos=None, tiled_tile_tokens=None,
+                      tiled_margin=None, dense_level_rows=None):
     if impl is not None:
         _MSDA_DEFAULTS["impl"] = impl
     if gather_dtype is not None:
         _MSDA_DEFAULTS["gather_dtype"] = gather_dtype
+    if tiled_dtype is not None:
+        _MSDA_DEFAULTS["tiled_dtype"] = tiled_dtype
+    if tiled_halos is not None:
+        _MSDA_DEFAULTS["tiled_halos"] = tuple(tiled_halos)
+    if tiled_tile_tokens is not None:
+        _MSDA_DEFAULTS["tiled_tile_tokens"] = tuple(tiled_tile_tokens)
+    if tiled_margin is not None:
+        _MSDA_DEFAULTS["tiled_margin"] = tiled_margin
+    if dense_level_rows is not None:
+        _MSDA_DEFAULTS["dense_level_rows"] = dense_level_rows
+
+
+def apply_msda_cli_flags(args) -> None:
+    """Wire the shared --msda-impl / --msda-halos CLI flags (train.py,
+    test.py) into the framework-wide MSDA defaults."""
+    if getattr(args, "msda_impl", None):
+        set_msda_defaults(impl=args.msda_impl)
+    if getattr(args, "msda_halos", None):
+        set_msda_defaults(
+            tiled_halos=tuple(int(v) for v in args.msda_halos.split(","))
+        )
 
 
 @contextlib.contextmanager
-def msda_defaults(impl: str = None, gather_dtype=None):
+def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
+                  tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
+                  dense_level_rows=None):
     saved = dict(_MSDA_DEFAULTS)
-    set_msda_defaults(impl, gather_dtype)
+    set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
+                      tiled_tile_tokens, tiled_margin, dense_level_rows)
     try:
         yield
     finally:
@@ -77,7 +120,7 @@ class _TileGeometry:
 
     __slots__ = ("grid", "ntiles", "T", "perm", "slot_valid", "inv", "patches", "M")
 
-    def __init__(self, spatial_shapes, tile_tokens, halos):
+    def __init__(self, spatial_shapes, tile_tokens, halos, margin=2):
         h0, w0 = spatial_shapes[0]
         gy = max(1, -(-h0 // tile_tokens[0]))
         gx = max(1, -(-w0 // tile_tokens[1]))
@@ -122,8 +165,8 @@ class _TileGeometry:
         for lvl, (h, w) in enumerate(spatial_shapes):
             r = halos[min(lvl, len(halos) - 1)]
             th, tw = h / gy, w / gx
-            ph = min(h, int(np.ceil(th)) + 2 * r + 2)
-            pw = min(w, int(np.ceil(tw)) + 2 * r + 2)
+            ph = min(h, int(np.ceil(th)) + 2 * r + margin)
+            pw = min(w, int(np.ceil(tw)) + 2 * r + margin)
             y0 = np.clip(np.floor(np.arange(gy) * th).astype(np.int64) - r, 0, h - ph)
             x0 = np.clip(np.floor(np.arange(gx) * tw).astype(np.int64) - r, 0, w - pw)
             y0s = np.repeat(y0, gx).astype(np.int32)
@@ -136,11 +179,11 @@ class _TileGeometry:
 _TILE_GEO_CACHE = {}
 
 
-def _tile_geometry(spatial_shapes, tile_tokens, halos):
-    key = (tuple(spatial_shapes), tuple(tile_tokens), tuple(halos))
+def _tile_geometry(spatial_shapes, tile_tokens, halos, margin=2):
+    key = (tuple(spatial_shapes), tuple(tile_tokens), tuple(halos), margin)
     geo = _TILE_GEO_CACHE.get(key)
     if geo is None:
-        geo = _TileGeometry(spatial_shapes, tile_tokens, halos)
+        geo = _TileGeometry(spatial_shapes, tile_tokens, halos, margin)
         _TILE_GEO_CACHE[key] = geo
     return geo
 
@@ -171,11 +214,23 @@ def multi_scale_deformable_attention(
     """
     impl = impl or _MSDA_DEFAULTS["impl"]
     gather_dtype = gather_dtype or _MSDA_DEFAULTS["gather_dtype"]
-    if impl == "auto":
-        # encoder layout (queries == raster tokens): tiled matmul kernel;
-        # decoder (sparse queries, no locality): corner-packed gather
+    if impl in ("auto", "auto_xla", "auto_pallas"):
+        # encoder layout (queries == raster tokens): tiled matmul formulation;
+        # decoder (sparse queries, no locality): corner-packed gather.
+        # The tiled route is TPU-only: it exists to feed the MXU / avoid the
+        # issue-bound HBM gather, and off-TPU it is slow to compile (its
+        # Pallas variant even runs in interpret mode). Within tiled, the XLA
+        # one-hot einsum beats the Pallas kernel (13.0 vs 20.0 ms at encoder
+        # scale — XLA fuses the A-build into the prep instead of
+        # materializing (B,nt,H,E,T) operands at a kernel boundary; PERF.md),
+        # so "auto" means tiled_xla; "auto_pallas" selects the kernel.
         _, total = _level_start_indices(spatial_shapes)
-        impl = "tiled" if sampling_locations.shape[1] == total else "corner_pack"
+        if sampling_locations.shape[1] != total:
+            impl = "corner_pack"
+        elif jax.default_backend() != "tpu":
+            impl = "corner_pack"
+        else:
+            impl = "tiled" if impl == "auto_pallas" else "tiled_xla"
     if impl in ("tiled", "tiled_xla"):
         return _msda_tiled(
             value, spatial_shapes, sampling_locations, attention_weights,
@@ -185,10 +240,10 @@ def multi_scale_deformable_attention(
         return _msda_pair_gather(
             value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
         )
-    if impl in ("corner_pack", "tile_select"):
+    if impl == "corner_pack":
         return _msda_corner_pack(
             value, spatial_shapes, sampling_locations, attention_weights,
-            gather_dtype, tile_select=impl == "tile_select",
+            gather_dtype,
         )
     in_dtype = value.dtype
     value = value.astype(gather_dtype)
@@ -247,8 +302,8 @@ def _msda_tiled(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     gather_dtype,
-    tile_tokens: Tuple[int, int] = (10, 8),
-    halos: Sequence[int] = (8, 6, 4, 3),
+    tile_tokens: Tuple[int, int] = None,
+    halos: Sequence[int] = None,
     use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Tiled one-hot-matmul formulation — the TPU encoder kernel.
@@ -294,19 +349,31 @@ def _msda_tiled(
         f"got Q={num_queries}, S={total}"
     )
 
-    geo = _tile_geometry(spatial_shapes, tile_tokens, halos)
+    if halos is None:
+        halos = _MSDA_DEFAULTS["tiled_halos"]
+    if tile_tokens is None:
+        tile_tokens = _MSDA_DEFAULTS["tiled_tile_tokens"]
+    tiled_dtype = _MSDA_DEFAULTS["tiled_dtype"]
+    geo = _tile_geometry(
+        spatial_shapes, tile_tokens, halos, _MSDA_DEFAULTS["tiled_margin"]
+    )
     nt, T = geo.ntiles, geo.T
     permf = jnp.asarray(geo.perm.reshape(-1))  # (nt*T,)
 
-    # query-side tensors into (B, nt, H, T, ...) tile layout
-    loc_t = jnp.take(sampling_locations, permf, axis=1).reshape(
-        bs, nt, T, num_heads, num_levels, num_points, 2
-    )
-    loc_t = jnp.transpose(loc_t, (0, 1, 3, 2, 4, 5, 6))  # (B,nt,H,T,L,P,2)
-    attn_t = jnp.take(attention_weights, permf, axis=1).reshape(
-        bs, nt, T, num_heads, num_levels, num_points
-    )
-    attn_t = jnp.transpose(attn_t, (0, 1, 3, 2, 4, 5))  # (B,nt,H,T,L,P)
+    # Layout discipline (the perf-critical part): every intermediate keeps T
+    # in the MINOR dimension. TPU tensors tile the last two dims to (8, 128);
+    # a tensor ending in (..., P=4, 2) pads 128x and the prep drowns in pad
+    # traffic (measured 29.5 ms/op vs 6.3 ms kernel before this layout).
+    # The take runs on lane-packed (B, Q, H*L*P*{2,1}) rows, then ONE
+    # transpose per tensor moves T to the back.
+    loc_t = jnp.take(
+        sampling_locations.reshape(bs, num_queries, -1), permf, axis=1
+    ).reshape(bs, nt, T, num_heads, num_levels, num_points, 2)
+    loc_t = jnp.transpose(loc_t, (0, 1, 3, 4, 5, 6, 2))  # (B,nt,H,L,P,2,T)
+    attn_t = jnp.take(
+        attention_weights.reshape(bs, num_queries, -1), permf, axis=1
+    ).reshape(bs, nt, T, num_heads, num_levels, num_points)
+    attn_t = jnp.transpose(attn_t, (0, 1, 3, 4, 5, 2))  # (B,nt,H,L,P,T)
 
     vflat = value.astype(gather_dtype).reshape(bs, total, num_heads * head_dim)
     out = jnp.zeros((bs, nt, T, num_heads, head_dim), jnp.float32)
@@ -316,36 +383,52 @@ def _msda_tiled(
         vl = vl.reshape(bs, h, w, num_heads * head_dim)
         # one static-index gather of nt contiguous (Ph, Pw, C) slabs
         starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3, 4),
-            collapsed_slice_dims=(),
-            start_index_map=(1, 2),
-        )
-        patch = jax.lax.gather(
-            vl,
-            starts_np,
-            dnums,
-            slice_sizes=(bs, ph, pw, num_heads * head_dim),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )  # (nt, B, Ph, Pw, C)
-        patch = jnp.transpose(patch, (1, 0, 2, 3, 4)).reshape(
-            bs, nt, ph * pw, num_heads, head_dim
-        )
+        if bs == 1:
+            # transpose-free path: gather straight into (nt, Ph, Pw, C)
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1),
+            )
+            patch = jax.lax.gather(
+                vl.reshape(h, w, num_heads * head_dim),
+                starts_np,
+                dnums,
+                slice_sizes=(ph, pw, num_heads * head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(1, nt, ph * pw, num_heads, head_dim)
+        else:
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3, 4),
+                collapsed_slice_dims=(),
+                start_index_map=(1, 2),
+            )
+            patch = jax.lax.gather(
+                vl,
+                starts_np,
+                dnums,
+                slice_sizes=(bs, ph, pw, num_heads * head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (nt, B, Ph, Pw, C)
+            patch = jnp.transpose(patch, (1, 0, 2, 3, 4)).reshape(
+                bs, nt, ph * pw, num_heads, head_dim
+            )
 
         by = jnp.asarray(y0s).reshape(1, nt, 1, 1, 1)
         bx = jnp.asarray(x0s).reshape(1, nt, 1, 1, 1)
-        loc = loc_t[..., lvl, :, :]  # (B,nt,H,T,P,2)
-        x = loc[..., 0] * w - 0.5
-        y = loc[..., 1] * h - 0.5
+        loc = loc_t[:, :, :, lvl]  # (B,nt,H,P,2,T)
+        x = loc[:, :, :, :, 0] * w - 0.5  # (B,nt,H,P,T) — T stays minor
+        y = loc[:, :, :, :, 1] * h - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        attn = attn_t[..., lvl, :]  # (B,nt,H,T,P)
+        attn = attn_t[:, :, :, lvl]  # (B,nt,H,P,T)
 
-        # per-entry patch-row index + folded weight (E = P * 4 corners)
+        # per-entry patch-row index + folded weight (E = 4 corners * P),
+        # built directly in the kernel's (B,nt,H,E,T) layout
         ms, ws = [], []
         for dy, wy in ((0, 1.0 - fy), (1, fy)):
             cy = y0i + dy
@@ -354,17 +437,17 @@ def _msda_tiled(
             for dx, wx in ((0, 1.0 - fx), (1, fx)):
                 cx = x0i + dx
                 lx = jnp.clip(cx - bx, 0, pw - 1)
-                ms.append(ly * pw + lx)  # (B,nt,H,T,P)
+                ms.append(ly * pw + lx)  # (B,nt,H,P,T)
                 ws.append(attn * wy * wx * ((cx >= 0) & (cx < w) & vy))
-        m_all = jnp.concatenate(ms, axis=-1)  # (B,nt,H,T,E)
-        w_all = jnp.concatenate(ws, axis=-1)
+        m_all = jnp.concatenate(ms, axis=-2)  # (B,nt,H,E,T)
+        w_all = jnp.concatenate(ws, axis=-2)
 
         if use_pallas:
             from relation_detr_tpu.ops.msda_pallas import tiled_matmul_core
 
             contrib = tiled_matmul_core(
-                jnp.transpose(m_all, (0, 1, 2, 4, 3)),  # (B,nt,H,E,T) rows
-                jnp.transpose(w_all, (0, 1, 2, 4, 3)),
+                m_all,
+                w_all,
                 patch.astype(jnp.float32).reshape(
                     bs, nt, ph * pw, num_heads * head_dim
                 ),
@@ -375,13 +458,19 @@ def _msda_tiled(
             m_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, 1, 1, 1, ph * pw), 5
             )
+            # A(B,nt,H,T,M) from entry rows (..., E, T): put T before M.
+            # With a bf16 tiled_dtype the one-hot sum ACCUMULATES in bf16 so
+            # A materializes in bf16 directly (a fp32 build + cast would pay
+            # an extra HBM pass over the largest tensor in the op).
             a_mat = jnp.sum(
-                w_all[..., None] * (m_all[..., None] == m_iota), axis=-2
+                w_all.astype(tiled_dtype)[..., None]
+                * (m_all[..., None] == m_iota).astype(tiled_dtype),
+                axis=-3,
             )  # (B,nt,H,T,M)
             contrib = jnp.einsum(
                 "bnhtm,bnmhd->bnhtd",
                 a_mat,
-                patch.astype(jnp.float32),
+                patch.astype(tiled_dtype),
                 preferred_element_type=jnp.float32,
             )
             out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
@@ -391,13 +480,77 @@ def _msda_tiled(
     return out.astype(in_dtype)
 
 
+def tiled_clamp_fraction(
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray = None,
+    tile_tokens: Tuple[int, int] = None,
+    halos: Sequence[int] = None,
+    margin: int = None,
+) -> jnp.ndarray:
+    """Fraction of bilinear corners the tiled kernel would border-clamp.
+
+    The tiled encoder path (``_msda_tiled``) is exact only while every
+    sampled corner lands inside its tile's halo'd patch; corners beyond the
+    halo are clamped to the patch border (documented approximation). This
+    diagnostic measures, for real sampling locations (e.g. from a converted
+    checkpoint), how often that approximation engages — weighted by
+    attention weight when ``attention_weights`` is given — so halo defaults
+    can be chosen from data rather than guessed.
+
+    Returns a scalar in [0, 1] (0 = tiled output is exact).
+    """
+    if halos is None:
+        halos = _MSDA_DEFAULTS["tiled_halos"]
+    if tile_tokens is None:
+        tile_tokens = _MSDA_DEFAULTS["tiled_tile_tokens"]
+    if margin is None:
+        margin = _MSDA_DEFAULTS["tiled_margin"]
+    sampling_locations = jnp.asarray(sampling_locations, jnp.float32)
+    bs, num_queries = sampling_locations.shape[:2]
+    geo = _tile_geometry(spatial_shapes, tile_tokens, halos, margin)
+    nt, T = geo.ntiles, geo.T
+    permf = jnp.asarray(geo.perm.reshape(-1))
+    loc_t = jnp.take(
+        sampling_locations.reshape(bs, num_queries, -1), permf, axis=1
+    ).reshape(bs, nt, T, *sampling_locations.shape[2:])  # (B,nt,T,H,L,P,2)
+    valid_t = jnp.asarray(geo.slot_valid).reshape(1, nt, T, 1, 1)
+    if attention_weights is not None:
+        w_t = jnp.take(
+            jnp.asarray(attention_weights, jnp.float32).reshape(bs, num_queries, -1),
+            permf, axis=1,
+        ).reshape(bs, nt, T, *attention_weights.shape[2:])  # (B,nt,T,H,L,P)
+    clamped_w = 0.0
+    total_w = 0.0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        y0s, x0s, ph, pw = geo.patches[lvl]
+        by = jnp.asarray(y0s).reshape(1, nt, 1, 1)
+        bx = jnp.asarray(x0s).reshape(1, nt, 1, 1)
+        loc = loc_t[:, :, :, :, lvl]  # (B,nt,T,H,P,2)
+        x0i = jnp.floor(loc[..., 0] * w - 0.5).astype(jnp.int32)
+        y0i = jnp.floor(loc[..., 1] * h - 0.5).astype(jnp.int32)
+        bad = jnp.zeros(x0i.shape, bool)
+        for dy in (0, 1):
+            cy = y0i + dy
+            in_lvl_y = (cy >= 0) & (cy < h)
+            off_y = (cy - by[..., None] < 0) | (cy - by[..., None] > ph - 1)
+            for dx in (0, 1):
+                cx = x0i + dx
+                in_lvl = in_lvl_y & (cx >= 0) & (cx < w)
+                off = off_y | (cx - bx[..., None] < 0) | (cx - bx[..., None] > pw - 1)
+                bad = bad | (in_lvl & off)  # out-of-level corners are exact 0s
+        wgt = w_t[:, :, :, :, lvl] if attention_weights is not None else 1.0
+        clamped_w = clamped_w + jnp.sum(bad * wgt * valid_t)
+        total_w = total_w + jnp.sum(jnp.ones_like(bad) * wgt * valid_t)
+    return clamped_w / jnp.maximum(total_w, 1e-9)
+
+
 def _msda_corner_pack(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     gather_dtype,
-    tile_select: bool = False,
 ) -> jnp.ndarray:
     """Corner-packed formulation — the TPU-tuned gather.
 
@@ -432,7 +585,10 @@ def _msda_corner_pack(
     out = jnp.zeros((bs, num_queries, num_heads, head_dim), jnp.float32)
     for lvl, (h, w) in enumerate(spatial_shapes):
         value_l = jax.lax.dynamic_slice_in_dim(vhm, starts[lvl], h * w, axis=1)
-        # pack 2x2 corner neighborhoods into the lane dim: (B*H, hw, 4D)
+        # pack 2x2 corner neighborhoods into the lane dim: (B*H, hw, 4D).
+        # (A two-step pack via an intermediate [V(r)|V(r+1)] table measured
+        # 4 ms SLOWER on the flagship — XLA fuses this 4-roll concat into
+        # one pass; the intermediate forces an extra materialization.)
         packed = jnp.concatenate(
             [
                 value_l,
@@ -484,30 +640,18 @@ def _msda_corner_pack(
         idx = jnp.transpose(idx, (0, 2, 1, 3)).reshape(
             bs * num_heads, num_queries * num_points
         )
-        if tile_select:
-            # fetch the 8-row vreg tile containing the target row, then pick
-            # the row with a one-hot reduce — one aligned tile per request
-            n_rows = packed.shape[1]
-            pad_rows = (-n_rows) % 8
-            if pad_rows:
-                packed = jnp.pad(packed, ((0, 0), (0, pad_rows), (0, 0)))
-            blocks = packed.reshape(bs * num_heads, -1, 8, 4 * head_dim)
-            dnums = jax.lax.GatherDimensionNumbers(
-                offset_dims=(2, 3),
-                collapsed_slice_dims=(1,),
-                start_index_map=(1,),
-                operand_batching_dims=(0,),
-                start_indices_batching_dims=(0,),
-            )
-            got8 = jax.lax.gather(
-                blocks,
-                (idx // 8)[..., None],
-                dnums,
-                slice_sizes=(1, 1, 8, 4 * head_dim),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            )  # (B*H, Q*P, 8, 4D)
-            onehot = jax.nn.one_hot(idx % 8, 8, dtype=got8.dtype)
-            got = jnp.einsum("nqrd,nqr->nqd", got8, onehot)
+        if h * w <= _MSDA_DEFAULTS["dense_level_rows"] and num_queries <= 4096:
+            # small level: a one-hot MXU matmul beats the issue-bound gather
+            # (requests cost ~15 ns each regardless of level size, PERF.md;
+            # at <=1536 rows the one-hot build + matmul is cheaper). Exact:
+            # selects the same packed rows.
+            onehot = (
+                idx[..., None] == jnp.arange(h * w, dtype=idx.dtype)
+            ).astype(packed.dtype)
+            got = jnp.einsum(
+                "nqs,nsd->nqd", onehot, packed,
+                preferred_element_type=jnp.float32,
+            )  # (B*H, Q*P, 4D)
         else:
             dnums = jax.lax.GatherDimensionNumbers(
                 offset_dims=(2,),

@@ -83,7 +83,7 @@ def make_encoder_inputs(seed, bs=2, num_heads=4, head_dim=8, num_points=4,
     return value, spatial_shapes, locs, attn
 
 
-@pytest.mark.parametrize("impl", ["gather", "pair", "corner_pack", "tile_select"])
+@pytest.mark.parametrize("impl", ["gather", "pair", "corner_pack"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_msda_matches_grid_sample_oracle(seed, impl):
     value, shapes, locs, attn = make_inputs(seed)
@@ -121,12 +121,18 @@ def test_msda_tiled_matches_grid_sample_oracle(seed):
 
 
 def test_msda_auto_dispatch():
-    """auto == tiled for encoder layout (Q == S), == corner_pack otherwise."""
+    """auto == tiled_xla for encoder layout (Q == S) on TPU; off-TPU the
+    tiled route is slow to compile so auto keeps corner_pack; decoder
+    layouts always go to corner_pack."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
     value, shapes, locs, attn = make_encoder_inputs(3, bs=1)
     a = multi_scale_deformable_attention(
         jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn), impl="auto")
     t = multi_scale_deformable_attention(
-        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn), impl="tiled")
+        jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn),
+        impl="tiled_xla" if on_tpu else "corner_pack")
     np.testing.assert_array_equal(np.asarray(a), np.asarray(t))
 
     value, shapes, locs, attn = make_inputs(3, num_queries=9)
@@ -177,7 +183,7 @@ def test_msda_tiled_grads_match_gather():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["pair", "corner_pack", "tile_select"])
+@pytest.mark.parametrize("impl", ["pair", "corner_pack"])
 def test_msda_impl_grads_match_gather(impl):
     value, shapes, locs, attn = make_inputs(5, bs=1, num_queries=6)
 
@@ -228,3 +234,41 @@ def test_msda_grad_matches_torch():
     # grad wrt sampling locations: exclude points sitting exactly on texel
     # boundaries (floor is non-differentiable there)
     np.testing.assert_allclose(np.asarray(gl), lt.grad.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_tiled_clamp_fraction_diagnostic():
+    """Exactness diagnostic: zero inside the halo regime, positive beyond."""
+    from relation_detr_tpu.ops.msda import tiled_clamp_fraction
+
+    _, shapes, locs, attn = make_encoder_inputs(0, max_offset=2.5)
+    frac = float(tiled_clamp_fraction(
+        shapes, jnp.asarray(locs), jnp.asarray(attn),
+        tile_tokens=(10, 8), halos=(8, 6, 4, 3), margin=2))
+    assert frac == 0.0, frac
+
+    _, shapes, locs, attn = make_encoder_inputs(0, max_offset=8.0)
+    frac = float(tiled_clamp_fraction(
+        shapes, jnp.asarray(locs), jnp.asarray(attn),
+        tile_tokens=(10, 8), halos=(1, 1, 1, 1), margin=2))
+    assert frac > 0.05, frac
+
+
+@pytest.mark.parametrize("dense_rows", [0, 10**6])
+def test_msda_corner_pack_dense_and_gather_paths(dense_rows):
+    """corner_pack's small-level one-hot matmul and large-level gather paths
+    must agree with the oracle (the threshold only picks the faster route)."""
+    from relation_detr_tpu.ops.msda import msda_defaults
+
+    value, shapes, locs, attn = make_inputs(3)
+    with msda_defaults(dense_level_rows=dense_rows):
+        ours = np.asarray(
+            multi_scale_deformable_attention(
+                jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn),
+                impl="corner_pack",
+            )
+        )
+    ref = torch_msda_oracle(
+        torch.from_numpy(value), shapes,
+        torch.from_numpy(locs), torch.from_numpy(attn),
+    ).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)

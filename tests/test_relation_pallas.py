@@ -1,0 +1,41 @@
+"""Fused relation-bias Pallas kernel vs the unfused reference math."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from relation_detr_tpu.ops.relation_pallas import (
+    _reference_bias,
+    fused_relation_bias,
+)
+
+
+@pytest.mark.parametrize("shape", [(1, 60, 60), (2, 33, 47)])
+def test_fused_matches_reference(shape):
+    b, n1, n2 = shape
+    rng = np.random.RandomState(0)
+    rel = jnp.asarray(rng.randn(b, n1, n2, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(64, 8).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+    got = fused_relation_bias(rel, kernel, bias)
+    want = _reference_bias(rel, kernel, bias, 16, 10000.0, 100.0)
+    assert got.shape == (b, 8, n1, n2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_grads_match_reference():
+    rng = np.random.RandomState(1)
+    rel = jnp.asarray(rng.randn(1, 24, 24, 4).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(64, 8).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+
+    def loss_fused(k, b):
+        return jnp.sum(fused_relation_bias(rel, k, b) ** 2)
+
+    def loss_ref(k, b):
+        return jnp.sum(_reference_bias(rel, k, b, 16, 10000.0, 100.0) ** 2)
+
+    gk, gb = jax.grad(loss_fused, argnums=(0, 1))(kernel, bias)
+    rk, rb = jax.grad(loss_ref, argnums=(0, 1))(kernel, bias)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-4, atol=1e-4)
