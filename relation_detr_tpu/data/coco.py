@@ -20,6 +20,34 @@ import numpy as np
 cv2.setNumThreads(0)  # avoid DataLoader/OpenCV thread deadlocks (coco.py:50-52)
 
 
+def _rasterize_segmentation(seg, box, height: int, width: int) -> np.ndarray:
+    """Polygon / uncompressed-RLE -> (H, W) uint8 mask; falls back to the
+    box rectangle when no segmentation is present."""
+    mask = np.zeros((height, width), np.uint8)
+    if isinstance(seg, list) and seg:
+        polys = [np.asarray(p, np.float64).reshape(-1, 2).round().astype(np.int32)
+                 for p in seg if len(p) >= 6]
+        if polys:
+            cv2.fillPoly(mask, polys, 1)
+            return mask
+    if isinstance(seg, dict) and isinstance(seg.get("counts"), list):
+        # uncompressed RLE: column-major runs of 0s and 1s alternating
+        h, w = seg.get("size", (height, width))
+        flat = np.zeros(h * w, np.uint8)
+        pos, val = 0, 0
+        for run in seg["counts"]:
+            if val:
+                flat[pos:pos + run] = 1
+            pos += run
+            val ^= 1
+        m = flat.reshape(w, h).T  # COCO RLE is column-major
+        mask[:h, :w] = m[:height, :width]
+        return mask
+    x0, y0, x1, y1 = (int(round(v)) for v in box)
+    mask[y0:y1, x0:x1] = 1
+    return mask
+
+
 class CocoDetection:
     def __init__(
         self,
@@ -28,13 +56,19 @@ class CocoDetection:
         transforms=None,
         train: bool = False,
         class_agnostic: bool = False,
+        return_masks: bool = False,
     ):
         """``class_agnostic`` collapses every category to id 1 — the SA-Det-100k
-        evaluation protocol (/root/reference/README.md:74-77)."""
+        evaluation protocol (/root/reference/README.md:74-77). ``return_masks``
+        rasterizes segmentation polygons / uncompressed RLE to (N, H, W) uint8
+        masks (ConvertCocoPolysToMask return_masks,
+        convert_coco_polys_to_mask.py:7-101) — needed by mask-based
+        SimpleCopyPaste."""
         self.img_folder = img_folder
         self.transforms = transforms
         self.train = train
         self.class_agnostic = class_agnostic
+        self.return_masks = return_masks
         with open(ann_file) as f:
             coco = json.load(f)
         self.images = {img["id"]: img for img in coco["images"]}
@@ -48,8 +82,9 @@ class CocoDetection:
 
     def _prepare(self, img_id: int, height: int, width: int):
         """xywh -> clamped xyxy, drop crowd + degenerate boxes
-        (convert_coco_polys_to_mask.py)."""
-        boxes, labels = [], []
+        (convert_coco_polys_to_mask.py). Returns (boxes, labels, masks);
+        masks is None unless ``return_masks``."""
+        boxes, labels, masks = [], [], []
         for ann in self.anns_by_image.get(img_id, []):
             if ann.get("iscrowd", 0):
                 continue
@@ -62,13 +97,21 @@ class CocoDetection:
                 continue
             boxes.append([x0, y0, x1, y1])
             labels.append(1 if self.class_agnostic else ann["category_id"])
+            if self.return_masks:
+                masks.append(_rasterize_segmentation(
+                    ann.get("segmentation"), (x0, y0, x1, y1), height, width
+                ))
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         labels = np.asarray(labels, np.int64)
-        return boxes, labels
+        if self.return_masks:
+            masks = (np.stack(masks) if masks
+                     else np.zeros((0, height, width), np.uint8))
+            return boxes, labels, masks
+        return boxes, labels, None
 
     def _has_valid_anns(self, img_id: int) -> bool:
         info = self.images[img_id]
-        boxes, _ = self._prepare(img_id, info["height"], info["width"])
+        boxes = self._prepare(img_id, info["height"], info["width"])[0]
         return len(boxes) > 0
 
     def __len__(self):
@@ -90,7 +133,7 @@ class CocoDetection:
         data = np.fromfile(path, np.uint8)
         image = cv2.imdecode(data, cv2.IMREAD_COLOR)  # BGR HWC
         image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
-        boxes, labels = self._prepare(img_id, image.shape[0], image.shape[1])
+        boxes, labels, masks = self._prepare(img_id, image.shape[0], image.shape[1])
         sample = {
             "image": image,
             "boxes": boxes,
@@ -98,6 +141,8 @@ class CocoDetection:
             "image_id": img_id,
             "orig_size": np.asarray(image.shape[:2], np.int64),  # (h, w)
         }
+        if masks is not None:
+            sample["masks"] = masks
         if self.transforms is not None:
             # multi-image transforms (Mosaic/MixUp/CopyPaste) pull extra
             # samples from this dataset (reference update_dataset hook,

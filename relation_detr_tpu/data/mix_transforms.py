@@ -2,9 +2,9 @@
 
 Spec: /root/reference/transforms/mix_transform.py (Mosaic 2x2 canvas
 :170-270, MixUp 0.5 blend :71-116) and
-/root/reference/transforms/simple_copy_paste.py (batch-level mask-free box
-paste). These pull extra samples straight from the dataset (the reference
-wires this via an update_dataset hook, datasets/coco.py:31-40).
+/root/reference/transforms/simple_copy_paste.py (mask-based copy-paste).
+These pull extra samples straight from the dataset (the reference wires
+this via an update_dataset hook, datasets/coco.py:31-40).
 """
 from __future__ import annotations
 
@@ -143,12 +143,22 @@ class CachedMixUp(MixUp):
 
 
 class SimpleCopyPaste:
-    """Paste another sample's box regions onto this image
-    (box-level variant of /root/reference/transforms/simple_copy_paste.py)."""
+    """Mask-based copy-paste (arXiv:2012.07177), matching the reference's
+    batch-level transform (/root/reference/transforms/simple_copy_paste.py):
+    randomly select objects from another sample, build their union alpha
+    mask (optionally gaussian-blurred for blending), composite the paste
+    image over this one, occlude this sample's masks, recompute its boxes
+    from the surviving masks, and append the pasted objects.
 
-    def __init__(self, dataset=None, p: float = 0.5, max_paste: int = 10, seed: int = 0):
+    Falls back to pasting box rectangles when either sample lacks "masks"
+    (datasets constructed without return_masks=True).
+    """
+
+    def __init__(self, dataset=None, p: float = 0.5, blending: bool = True,
+                 max_paste: int = 10, seed: int = 0):
         self.dataset = dataset
         self.p = p
+        self.blending = blending
         self.max_paste = max_paste
         self.rng = random.Random(seed)
 
@@ -164,6 +174,50 @@ class SimpleCopyPaste:
             if hasattr(self.dataset, "get_raw")
             else self.dataset[idx]
         )
+        if "masks" in sample and "masks" in other and len(other["masks"]):
+            return self._paste_masks(sample, other)
+        return self._paste_boxes(sample, other)
+
+    def _paste_masks(self, sample: Dict, other: Dict) -> Dict:
+        h, w = sample["image"].shape[:2]
+        oh, ow = other["image"].shape[:2]
+        # random selection with replacement, deduplicated (reference :26-30)
+        n = len(other["masks"])
+        sel = sorted({self.rng.randrange(n) for _ in range(n)})[: self.max_paste]
+        paste_img = other["image"]
+        paste_masks = other["masks"][sel].astype(np.uint8)
+        paste_boxes = other["boxes"][sel].copy()
+        paste_labels = other["labels"][sel]
+        if (oh, ow) != (h, w):  # reference resizes paste data to match (:40-52)
+            paste_img = cv2.resize(paste_img, (w, h), interpolation=cv2.INTER_LINEAR)
+            paste_masks = np.stack([
+                cv2.resize(m, (w, h), interpolation=cv2.INTER_NEAREST)
+                for m in paste_masks
+            ]) if len(paste_masks) else np.zeros((0, h, w), np.uint8)
+            paste_boxes *= np.asarray([w / ow, h / oh, w / ow, h / oh], np.float32)
+
+        alpha = (paste_masks.sum(0) > 0).astype(np.float32)
+        if self.blending:  # gaussian-blurred alpha (reference :55-62)
+            alpha = cv2.GaussianBlur(alpha, (5, 5), 2.0)
+        image = (
+            sample["image"].astype(np.float32) * (1.0 - alpha[..., None])
+            + paste_img.astype(np.float32) * alpha[..., None]
+        ).astype(sample["image"].dtype)
+
+        hard = (alpha > 0.5) if self.blending else (alpha > 0)
+        masks = sample["masks"].astype(np.uint8) * (~hard)
+        keep = masks.sum((-1, -2)) > 0  # drop fully-occluded objects (:68-70)
+        masks = masks[keep]
+        boxes = _masks_to_boxes(masks)
+        return {
+            **sample,
+            "image": image,
+            "masks": np.concatenate([masks, paste_masks], 0),
+            "boxes": np.concatenate([boxes, paste_boxes], 0).astype(np.float32),
+            "labels": np.concatenate([sample["labels"][keep], paste_labels], 0),
+        }
+
+    def _paste_boxes(self, sample: Dict, other: Dict) -> Dict:
         img = sample["image"].copy()
         h, w = img.shape[:2]
         new_boxes, new_labels = [], []
@@ -192,3 +246,14 @@ class SimpleCopyPaste:
                 [sample["labels"], np.asarray(new_labels, np.int64)], 0
             ),
         }
+
+
+def _masks_to_boxes(masks: np.ndarray) -> np.ndarray:
+    """torchvision ops.masks_to_boxes equivalent (reference :79)."""
+    if len(masks) == 0:
+        return np.zeros((0, 4), np.float32)
+    boxes = []
+    for m in masks:
+        ys, xs = np.nonzero(m)
+        boxes.append([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+    return np.asarray(boxes, np.float32)

@@ -228,6 +228,179 @@ class StrongAlbumPreset:
         return self.detr(self.color(sample))
 
 
+def photometric_distort(sample: Dict, rng: random.Random, p: float = 0.5) -> Dict:
+    """SSD-style RandomPhotometricDistort (torchvision v2 semantics used by
+    the reference ssd/rtdetr presets, presets.py:76-94, 231-241): independent
+    p-gated brightness/contrast/saturation/hue jitters, contrast randomly
+    before or after the color ops."""
+    img = sample["image"]
+    assert img.dtype == np.uint8, "apply photometric distort before normalize()"
+    f = img.astype(np.float32)
+
+    def brightness(f):
+        return f * rng.uniform(0.875, 1.125)
+
+    def contrast(f):
+        mean = cv2.cvtColor(f.astype(np.uint8), cv2.COLOR_RGB2GRAY).mean()
+        return (f - mean) * rng.uniform(0.5, 1.5) + mean
+
+    def saturation_hue(f):
+        hsv = cv2.cvtColor(np.clip(f, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV)
+        hsv = hsv.astype(np.float32)
+        if rng.random() < p:
+            hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(0.5, 1.5), 0, 255)
+        if rng.random() < p:
+            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-0.05, 0.05) * 180) % 180
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB).astype(np.float32)
+
+    if rng.random() < p:
+        f = brightness(f)
+    contrast_first = rng.random() < 0.5
+    if contrast_first and rng.random() < p:
+        f = contrast(f)
+    f = saturation_hue(f)
+    if not contrast_first and rng.random() < p:
+        f = contrast(f)
+    return {**sample, "image": np.clip(f, 0, 255).astype(np.uint8)}
+
+
+def random_zoom_out(sample: Dict, rng: random.Random, fill=(123, 117, 104),
+                    side_range=(1.0, 4.0), p: float = 0.5) -> Dict:
+    """torchvision RandomZoomOut: paste the image at a random position in a
+    canvas up to side_range x larger, filled with `fill`."""
+    if rng.random() >= p:
+        return sample
+    h, w = sample["image"].shape[:2]
+    r = rng.uniform(*side_range)
+    ch, cw = int(h * r), int(w * r)
+    y0 = rng.randint(0, ch - h)
+    x0 = rng.randint(0, cw - w)
+    canvas = np.empty((ch, cw, 3), np.uint8)
+    canvas[...] = np.asarray(fill, np.uint8)
+    canvas[y0:y0 + h, x0:x0 + w] = sample["image"]
+    boxes = sample["boxes"] + np.asarray([x0, y0, x0, y0], np.float32)
+    return {**sample, "image": canvas, "boxes": boxes}
+
+
+def random_iou_crop(sample: Dict, rng: random.Random, trials: int = 40) -> Dict:
+    """torchvision RandomIoUCrop (SSD crop): sample a min-IoU requirement from
+    {skip, 0, .1, .3, .5, .7, .9}, then try random crops (scale 0.3-1, aspect
+    0.5-2) until every kept box's center is inside and IoU >= requirement."""
+    h, w = sample["image"].shape[:2]
+    boxes = sample["boxes"]
+    if len(boxes) == 0:
+        return sample
+    options = (None, 0.0, 0.1, 0.3, 0.5, 0.7, 0.9)
+    min_iou = rng.choice(options)
+    if min_iou is None:
+        return sample
+    for _ in range(trials):
+        cw = int(w * rng.uniform(0.3, 1.0))
+        ch = int(h * rng.uniform(0.3, 1.0))
+        if not 0.5 <= cw / max(ch, 1) <= 2.0:
+            continue
+        x0 = rng.randint(0, w - cw)
+        y0 = rng.randint(0, h - ch)
+        crop = np.asarray([x0, y0, x0 + cw, y0 + ch], np.float32)
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        inside = (cx >= crop[0]) & (cx < crop[2]) & (cy >= crop[1]) & (cy < crop[3])
+        if not inside.any():
+            continue
+        ix0 = np.maximum(boxes[:, 0], crop[0])
+        iy0 = np.maximum(boxes[:, 1], crop[1])
+        ix1 = np.minimum(boxes[:, 2], crop[2])
+        iy1 = np.minimum(boxes[:, 3], crop[3])
+        inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+        area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / np.maximum(area + cw * ch - inter, 1e-9)
+        if iou[inside].min() < min_iou:
+            continue
+        image = sample["image"][y0:y0 + ch, x0:x0 + cw]
+        nb = boxes[inside] - np.asarray([x0, y0, x0, y0], np.float32)
+        nb[:, [0, 2]] = nb[:, [0, 2]].clip(0, cw)
+        nb[:, [1, 3]] = nb[:, [1, 3]].clip(0, ch)
+        return {
+            **sample,
+            "image": np.ascontiguousarray(image),
+            "boxes": nb,
+            "labels": sample["labels"][inside],
+        }
+    return sample
+
+
+def resize_fixed(sample: Dict, size) -> Dict:
+    th, tw = size
+    h, w = sample["image"].shape[:2]
+    image = cv2.resize(sample["image"], (tw, th), interpolation=cv2.INTER_LINEAR)
+    boxes = sample["boxes"] * np.asarray(
+        [tw / w, th / h, tw / w, th / h], np.float32
+    )
+    return {**sample, "image": image, "boxes": boxes}
+
+
+def _sanitize(sample: Dict) -> Dict:
+    boxes = sample["boxes"]
+    keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    return {**sample, "boxes": boxes[keep], "labels": sample["labels"][keep]}
+
+
+class MultiscalePreset:
+    """`multiscale` (presets.py:50-58): multi-scale shortest-side resize +
+    hflip + normalize, no crop branch."""
+
+    def __init__(self, scales: Sequence[int] = DETR_SCALES, max_size: int = 1333,
+                 seed: int = 0):
+        self.scales = list(scales)
+        self.max_size = max_size
+        self.rng = random.Random(seed)
+
+    def __call__(self, sample: Dict) -> Dict:
+        sample = resize_shortest(sample, self.rng.choice(self.scales), self.max_size)
+        if self.rng.random() < 0.5:
+            sample = hflip(sample)
+        return normalize(sample)
+
+
+class SSDPreset:
+    """`ssd` (presets.py:76-86): photometric distort + zoom-out + IoU crop +
+    hflip + normalize + sanitize."""
+
+    def __init__(self, seed: int = 0, with_distort: bool = True,
+                 with_zoom_out: bool = True):
+        self.rng = random.Random(seed)
+        self.with_distort = with_distort
+        self.with_zoom_out = with_zoom_out
+
+    def __call__(self, sample: Dict) -> Dict:
+        if self.with_distort:
+            sample = photometric_distort(sample, self.rng)
+        if self.with_zoom_out:
+            sample = random_zoom_out(sample, self.rng)
+        sample = random_iou_crop(sample, self.rng)
+        if self.rng.random() < 0.5:
+            sample = hflip(sample)
+        return normalize(_sanitize(sample))
+
+
+class RTDetrPreset:
+    """`rtdetr_transform` (presets.py:231-241): distort p=0.8 + zoom-out
+    (fill 0) + IoU crop + hflip + fixed 640x640 resize + normalize."""
+
+    def __init__(self, size: int = 640, seed: int = 0):
+        self.size = (size, size)
+        self.rng = random.Random(seed)
+
+    def __call__(self, sample: Dict) -> Dict:
+        sample = photometric_distort(sample, self.rng, p=0.8)
+        sample = random_zoom_out(sample, self.rng, fill=(0, 0, 0))
+        sample = random_iou_crop(sample, self.rng)
+        if self.rng.random() < 0.5:
+            sample = hflip(sample)
+        sample = resize_fixed(sample, self.size)
+        return normalize(_sanitize(sample))
+
+
 # preset registry mirroring `transforms.presets` usage in configs
 def detr(seed: int = 0) -> DetrPreset:
     return DetrPreset(seed=seed)
@@ -254,6 +427,23 @@ def strong_album_1200_2000(seed: int = 0) -> StrongAlbumPreset:
     scales = tuple(range(720, 1201, 48))
     return StrongAlbumPreset(seed=seed, scales=scales, max_size=2000,
                              crop_scales=(600, 750, 900), crop_range=(576, 900))
+
+
+def multiscale(seed: int = 0) -> MultiscalePreset:
+    return MultiscalePreset(seed=seed)
+
+
+def ssd(seed: int = 0) -> SSDPreset:
+    return SSDPreset(seed=seed)
+
+
+def ssdlite(seed: int = 0) -> SSDPreset:
+    """`ssdlite` (presets.py:88-94): ssd without distort/zoom-out."""
+    return SSDPreset(seed=seed, with_distort=False, with_zoom_out=False)
+
+
+def rtdetr_transform(seed: int = 0) -> RTDetrPreset:
+    return RTDetrPreset(seed=seed)
 
 
 def mosaic_detr(dataset=None, seed: int = 0) -> Compose:

@@ -29,6 +29,9 @@ class MultiheadAttention(nn.Module):
 
     embed_dim: int
     num_heads: int
+    # compute dtype for the projections/matmuls (params stay fp32); the
+    # softmax runs in fp32 regardless (torch-autocast island parity)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -39,23 +42,29 @@ class MultiheadAttention(nn.Module):
         attn_bias: Optional[jnp.ndarray] = None,  # (B, H, Q, K) additive, -inf = masked
     ) -> jnp.ndarray:
         head_dim = self.embed_dim // self.num_heads
-        q = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="q_proj")(query)
-        k = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="k_proj")(key)
-        v = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="v_proj")(value)
+        q = nn.Dense(self.embed_dim, kernel_init=xavier_uniform,
+                     dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(self.embed_dim, kernel_init=xavier_uniform,
+                     dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(self.embed_dim, kernel_init=xavier_uniform,
+                     dtype=self.dtype, name="v_proj")(value)
 
         def split(x):
             b, n, _ = x.shape
             return x.reshape(b, n, self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(head_dim)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(head_dim)
         if attn_bias is not None:
-            logits = logits + attn_bias
-        probs = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            logits = logits + attn_bias.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)  # fp32 island
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         out = out.reshape(out.shape[0], out.shape[1], self.embed_dim)
         return nn.Dense(
-            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init, name="out_proj"
+            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init,
+            dtype=self.dtype, name="out_proj",
         )(out)
 
 
@@ -92,6 +101,10 @@ class MultiScaleDeformableAttention(nn.Module):
     num_levels: int = 4
     num_heads: int = 8
     num_points: int = 4
+    # compute dtype for the projections (params stay fp32); the sampling
+    # core + location math + softmax stay fp32 (the fp32 island the reference
+    # keeps under AMP, ms_deform_attn.py:358-373)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -108,7 +121,8 @@ class MultiScaleDeformableAttention(nn.Module):
         h, l, p = self.num_heads, self.num_levels, self.num_points
 
         value = nn.Dense(
-            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init, name="value_proj"
+            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init,
+            dtype=self.dtype, name="value_proj",
         )(value)
         if key_padding_mask is not None:
             value = jnp.where(key_padding_mask[..., None], 0.0, value)
@@ -118,11 +132,13 @@ class MultiScaleDeformableAttention(nn.Module):
             h * l * p * 2,
             kernel_init=zeros_init,
             bias_init=_sampling_offsets_bias_init(h, l, p),
+            dtype=self.dtype,
             name="sampling_offsets",
-        )(query).reshape(bs, num_queries, h, l, p, 2)
+        )(query).astype(jnp.float32).reshape(bs, num_queries, h, l, p, 2)
         attention_weights = nn.Dense(
-            h * l * p, kernel_init=zeros_init, bias_init=zeros_init, name="attention_weights"
-        )(query).reshape(bs, num_queries, h, l * p)
+            h * l * p, kernel_init=zeros_init, bias_init=zeros_init,
+            dtype=self.dtype, name="attention_weights",
+        )(query).astype(jnp.float32).reshape(bs, num_queries, h, l * p)
         attention_weights = jax.nn.softmax(attention_weights, axis=-1).reshape(
             bs, num_queries, h, l, p
         )
@@ -150,5 +166,6 @@ class MultiScaleDeformableAttention(nn.Module):
             value, tuple(spatial_shapes), sampling_locations, attention_weights
         )
         return nn.Dense(
-            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init, name="output_proj"
+            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init,
+            dtype=self.dtype, name="output_proj",
         )(output)

@@ -23,6 +23,8 @@ class DeformConv2dPack(nn.Module):
     features: int
     kernel_size: int = 3
     stride: int = 1
+    groups: int = 1
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -64,9 +66,22 @@ class DeformConv2dPack(nn.Module):
         sampled = bilinear_sample(x, points).reshape(b, oh, ow, taps, c)
         sampled = sampled * masks[..., None]
 
+        # grouped tap-x-channel contraction on the MXU (groups match
+        # torchvision DeformConv2d's `groups`; reference passes them through
+        # conv3x3_dcn, resnet.py:38-55)
+        g = self.groups
         kernel = self.param(
-            "kernel", kaiming_normal_out, (taps, c, self.features)
+            "kernel", kaiming_normal_out, (taps, c // g, self.features)
         )
-        out = jnp.einsum("bhwtc,tcf->bhwf", sampled, kernel)
-        bias = self.param("bias", zeros_init, (self.features,))
-        return out + bias
+        if g == 1:
+            out = jnp.einsum("bhwtc,tcf->bhwf", sampled, kernel)
+        else:
+            oh, ow = sampled.shape[1:3]
+            sg = sampled.reshape(b, oh, ow, taps, g, c // g)
+            kg = kernel.reshape(taps, c // g, g, self.features // g)
+            out = jnp.einsum("bhwtgc,tcgf->bhwgf", sg, kg).reshape(
+                b, oh, ow, self.features
+            )
+        if self.use_bias:
+            out = out + self.param("bias", zeros_init, (self.features,))
+        return out

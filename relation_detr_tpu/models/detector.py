@@ -68,12 +68,20 @@ class RelationDETR(nn.Module):
     dn_groups: int = 5  # for denoising == "dn"
     query_source: str = "tgt_embed"  # "tgt_embed" | "memory" | "learned_anchor"
     backbone_dtype: Optional[str] = None  # e.g. "bfloat16" compute dtype
+    # transformer compute dtype ("bfloat16" = the reference's
+    # --mixed-precision bf16, main.py:28-35; fp32 islands stay fp32)
+    compute_dtype: Optional[str] = None
+    # per-stage DCN switch for ResNet archs (reference resnet.py:188-193)
+    backbone_stage_with_dcn: Optional[Tuple[bool, bool, bool, bool]] = None
     dropout: float = 0.0  # transformer dropout (shipped configs use 0.0)
 
     def setup(self):
         dtype = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
+        bb_kwargs = {}
+        if self.backbone_stage_with_dcn is not None:
+            bb_kwargs["stage_with_dcn"] = tuple(self.backbone_stage_with_dcn)
         self.backbone = build_backbone(
-            self.backbone_arch, name="backbone", dtype=dtype
+            self.backbone_arch, name="backbone", dtype=dtype, **bb_kwargs
         )
         self.neck = ChannelMapper(
             num_inputs=len(self.backbone.num_channels),
@@ -96,6 +104,7 @@ class RelationDETR(nn.Module):
             query_source=self.query_source,
             learned_query_indicator=self.denoising == "dn",
             dropout=self.dropout,
+            dtype=jnp.dtype(self.compute_dtype) if self.compute_dtype else None,
             name="transformer",
         )
         if self.denoising == "cdn":

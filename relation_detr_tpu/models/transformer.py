@@ -54,6 +54,7 @@ class TransformerEncoderLayer(nn.Module):
     num_levels: int = 4
     num_points: int = 4
     dropout: float = 0.0  # shipped configs use 0.0 (config:51); capability parity
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, query, query_pos, reference_points, key_padding_mask,
@@ -61,7 +62,8 @@ class TransformerEncoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout, name=None)(x, deterministic=deterministic) \
             if self.dropout > 0 else x
         attn = MultiScaleDeformableAttention(
-            self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="self_attn"
+            self.embed_dim, self.num_levels, self.num_heads, self.num_points,
+            dtype=self.dtype, name="self_attn",
         )(
             query=with_pos_embed(query, query_pos),
             reference_points=reference_points,
@@ -70,10 +72,10 @@ class TransformerEncoderLayer(nn.Module):
             key_padding_mask=key_padding_mask,
         )
         query = nn.LayerNorm(name="norm1")(query + drop(attn))
-        ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(query)
-        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(
-            drop(nn.relu(ffn))
-        )
+        ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, dtype=self.dtype,
+                       name="linear1")(query)
+        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, dtype=self.dtype,
+                       name="linear2")(drop(nn.relu(ffn)))
         return nn.LayerNorm(name="norm2")(query + drop(ffn))
 
 
@@ -96,6 +98,7 @@ class RelationTransformerEncoder(nn.Module):
     memory_fusion: bool = True  # False => plain DINO encoder (dino_transformer.py:117-151)
     remat: bool = True
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, query, query_pos, reference_points, spatial_shapes,
@@ -115,15 +118,16 @@ class RelationTransformerEncoder(nn.Module):
                 self.num_levels,
                 self.num_points,
                 self.dropout,
+                self.dtype,
                 name=f"layers_{i}",
             )(query, query_pos, reference_points, key_padding_mask, deterministic)
             states.append(query)
         if not self.memory_fusion:
             return query
         fused = jnp.concatenate(states, axis=-1)
-        fused = nn.Dense(self.embed_dim, name="fusion_0")(fused)
+        fused = nn.Dense(self.embed_dim, dtype=self.dtype, name="fusion_0")(fused)
         fused = nn.relu(fused)
-        fused = nn.Dense(self.embed_dim, name="fusion_1")(fused)
+        fused = nn.Dense(self.embed_dim, dtype=self.dtype, name="fusion_1")(fused)
         return nn.LayerNorm(name="fusion_norm")(fused)
 
 
@@ -139,6 +143,7 @@ class TransformerDecoderLayer(nn.Module):
     num_levels: int = 4
     num_points: int = 4
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -155,13 +160,15 @@ class TransformerDecoderLayer(nn.Module):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic) \
             if self.dropout > 0 else x
         q_with_pos = with_pos_embed(query, query_pos)
-        attn = MultiheadAttention(self.embed_dim, self.num_heads, name="self_attn")(
+        attn = MultiheadAttention(self.embed_dim, self.num_heads,
+                                  dtype=self.dtype, name="self_attn")(
             query=q_with_pos, key=q_with_pos, value=query, attn_bias=self_attn_bias
         )
         query = nn.LayerNorm(name="norm2")(query + drop(attn))
 
         cross = MultiScaleDeformableAttention(
-            self.embed_dim, self.num_levels, self.num_heads, self.num_points, name="cross_attn"
+            self.embed_dim, self.num_levels, self.num_heads, self.num_points,
+            dtype=self.dtype, name="cross_attn",
         )(
             query=with_pos_embed(query, query_pos),
             reference_points=reference_points,
@@ -171,10 +178,10 @@ class TransformerDecoderLayer(nn.Module):
         )
         query = nn.LayerNorm(name="norm1")(query + drop(cross))
 
-        ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, name="linear1")(query)
-        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, name="linear2")(
-            drop(nn.relu(ffn))
-        )
+        ffn = nn.Dense(self.d_ffn, kernel_init=xavier_uniform, dtype=self.dtype,
+                       name="linear1")(query)
+        ffn = nn.Dense(self.embed_dim, kernel_init=xavier_uniform, dtype=self.dtype,
+                       name="linear2")(drop(nn.relu(ffn)))
         return nn.LayerNorm(name="norm3")(query + drop(ffn))
 
 
@@ -195,6 +202,7 @@ class RelationTransformerDecoder(nn.Module):
     use_relation: bool = True  # False => plain DINO-style decoder without relation bias
     dropout: float = 0.0
     remat: bool = True  # rematerialize layers in the backward pass
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -245,6 +253,7 @@ class RelationTransformerDecoder(nn.Module):
                 self.num_levels,
                 self.num_points,
                 self.dropout,
+                self.dtype,
                 name=f"layers_{layer_idx}",
             )(
                 query,
@@ -326,6 +335,9 @@ class RelationTransformer(nn.Module):
     #                    (DN, dn_transformer.py:36-48, 77-87)
     query_source: str = "tgt_embed"
     learned_query_indicator: bool = False  # DN: last channel is an indicator
+    # compute dtype for the transformer stack (Dense/attention matmuls);
+    # fp32 islands: MSDA sampling core, softmaxes, LayerNorms, box math, heads
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.encoder = RelationTransformerEncoder(
@@ -337,6 +349,7 @@ class RelationTransformer(nn.Module):
             self.num_encoder_layers,
             memory_fusion=self.encoder_memory_fusion,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="encoder",
         )
         self.decoder = RelationTransformerDecoder(
@@ -349,6 +362,7 @@ class RelationTransformer(nn.Module):
             self.num_decoder_layers,
             use_relation=self.decoder_use_relation,
             dropout=self.dropout,
+            dtype=self.dtype,
             name="decoder",
         )
         self.level_embeds = self.param(

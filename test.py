@@ -40,7 +40,43 @@ def parse_args():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--per-category", action="store_true",
                    help="print the per-category AP/AR table")
+    p.add_argument("--show-dir", default=None,
+                   help="save images with predicted boxes drawn (mirrors "
+                        "reference test.py:175-191)")
+    p.add_argument("--show-conf", type=float, default=0.5,
+                   help="confidence threshold for --show-dir rendering")
+    p.add_argument("--msda-impl", default=None,
+                   help="MSDA kernel override (auto|corner_pack|gather|...)")
+    p.add_argument("--msda-halos", default=None,
+                   help="comma per-level halo radii for the tiled encoder "
+                        "kernel, e.g. 8,6,4,3 for the exact-at-any-offset "
+                        "setting (default 4,3,2,2 is the fast profile; check "
+                        "ops.msda.tiled_clamp_fraction on your checkpoint)")
     return p.parse_args()
+
+
+def _render_prediction(dataset, image_id, boxes, scores, labels, show_dir,
+                       conf, cat_names):
+    """Draw predictions over the original image (reference test.py:175-191
+    --show-dir path; rendering via util/visualize.py semantics)."""
+    import cv2
+
+    from relation_detr_tpu.utils.visualize import plot_bounding_boxes_on_image
+
+    os.makedirs(show_dir, exist_ok=True)
+    info = dataset.images[image_id]
+    path = os.path.join(dataset.img_folder, info["file_name"])
+    image = cv2.imread(path)  # BGR, original size
+    if image is None:
+        return
+    keep = scores >= conf
+    names = None
+    if cat_names:
+        names = [cat_names.get(i, str(i)) for i in range(max(cat_names) + 1)]
+    out = plot_bounding_boxes_on_image(
+        image, boxes[keep], scores[keep], labels[keep], class_names=names
+    )
+    cv2.imwrite(os.path.join(show_dir, os.path.basename(info["file_name"])), out)
 
 
 def _category_names(ann_file):
@@ -53,6 +89,9 @@ def _category_names(ann_file):
 
 def main():
     args = parse_args()
+    from relation_detr_tpu.ops.msda import apply_msda_cli_flags
+
+    apply_msda_cli_flags(args)
     logger = setup_logger()
     ann_file = os.path.join(
         args.coco_path, "annotations", f"instances_{args.split}.json"
@@ -125,6 +164,12 @@ def main():
                 continue  # tail padding
             b = boxes[i]
             evaluator.update_from_arrays(int(batch["image_ids"][i]), b, scores[i], labels[i])
+            if args.show_dir:
+                _render_prediction(
+                    dataset, int(batch["image_ids"][i]), b, scores[i],
+                    labels[i], args.show_dir, args.show_conf,
+                    _category_names(ann_file),
+                )
             if args.result_json:
                 for bb, ss, ll in zip(b, scores[i], labels[i]):
                     all_predictions.append({

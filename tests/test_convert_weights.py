@@ -154,3 +154,128 @@ def test_converter_covers_full_param_tree():
         (k, flat[k].shape, tmpl[k]) for k in tmpl if tuple(flat[k].shape) != tmpl[k]
     ]
     assert not mismatched, mismatched[:10]
+
+
+def synth_swin_state_dict(arch="swin_t", prefix="backbone.0."):
+    """torchvision-layout Swin state_dict (reference swin.py:780-789 names)."""
+    from relation_detr_tpu.models.backbones.swin import ARCH_SETTINGS
+
+    embed_dim, depths, num_heads, ws, v2 = ARCH_SETTINGS[arch]
+    sd = {}
+
+    def lin(name, out, inp, bias=True):
+        sd[f"{name}.weight"] = torch.randn(out, inp)
+        if bias:
+            sd[f"{name}.bias"] = torch.randn(out)
+
+    def ln(name, dim):
+        sd[f"{name}.weight"] = torch.randn(dim)
+        sd[f"{name}.bias"] = torch.randn(dim)
+
+    f = prefix + "features."
+    sd[f + "0.0.weight"] = torch.randn(embed_dim, 3, 4, 4)
+    sd[f + "0.0.bias"] = torch.randn(embed_dim)
+    ln(f + "0.2", embed_dim)
+    for stage, depth in enumerate(depths):
+        dim = embed_dim * 2**stage
+        if stage > 0:
+            lin(f"{f}{2 * stage}.reduction", dim, 2 * dim, bias=False)
+            ln(f"{f}{2 * stage}.norm", dim if v2 else 2 * dim)
+        for j in range(depth):
+            src = f"{f}{2 * stage + 1}.{j}"
+            ln(f"{src}.norm1", dim)
+            ln(f"{src}.norm2", dim)
+            lin(f"{src}.attn.qkv", 3 * dim, dim)
+            lin(f"{src}.attn.proj", dim, dim)
+            if v2:
+                sd[f"{src}.attn.logit_scale"] = torch.randn(num_heads[stage], 1, 1)
+                lin(f"{src}.attn.cpb_mlp.0", 512, 2)
+                lin(f"{src}.attn.cpb_mlp.2", num_heads[stage], 512, bias=False)
+                sd[f"{src}.attn.relative_coords_table"] = torch.zeros(
+                    1, 2 * ws - 1, 2 * ws - 1, 2)
+            else:
+                sd[f"{src}.attn.relative_position_bias_table"] = torch.randn(
+                    (2 * ws - 1) ** 2, num_heads[stage])
+            sd[f"{src}.attn.relative_position_index"] = torch.zeros(
+                ws * ws * ws * ws, dtype=torch.long)
+            lin(f"{src}.mlp.0", 4 * dim, dim)
+            lin(f"{src}.mlp.3", dim, 4 * dim)
+    return sd
+
+
+@pytest.mark.parametrize("arch", ["swin_t", "swin_v2_t"])
+def test_converter_covers_swin_backbones(arch):
+    from relation_detr_tpu.models.backbones import build_backbone
+
+    sd = synth_swin_state_dict(arch)
+    params, stats, leftover = convert_torch_weights.convert_state_dict(sd)
+    bb_params = {k: v for k, v in params.items() if k.startswith("backbone/")}
+
+    bb = build_backbone(arch)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    template = jax.eval_shape(lambda: bb.init(jax.random.key(0), x))
+    tmpl = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(template["params"])[0]:
+        key = "backbone/" + "/".join(
+            str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        tmpl[key] = tuple(leaf.shape)
+
+    missing = sorted(set(tmpl) - set(bb_params))
+    assert not missing, missing[:10]
+    mismatched = [(k, bb_params[k].shape, tmpl[k]) for k in tmpl
+                  if tuple(bb_params[k].shape) != tmpl[k]]
+    assert not mismatched, mismatched[:10]
+    swin_leftover = [k for k in leftover if "features" in k]
+    assert not swin_leftover, swin_leftover[:5]
+
+
+def test_converter_accepts_bare_torchvision_resnet():
+    """A raw torchvision ImageNet checkpoint (top-level conv1/bn1/layerN
+    keys, the URLs the reference loads at resnet.py:344-414) converts into
+    the backbone param/stat tree."""
+    from relation_detr_tpu.models.backbones import build_backbone
+
+    sd = {"conv1.weight": torch.randn(64, 3, 7, 7)}
+    for stat in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{stat}"] = torch.randn(64)
+
+    def block(pre, cin, width, cout, down):
+        sd[f"{pre}.conv1.weight"] = torch.randn(width, cin, 1, 1)
+        sd[f"{pre}.conv2.weight"] = torch.randn(width, width, 3, 3)
+        sd[f"{pre}.conv3.weight"] = torch.randn(cout, width, 1, 1)
+        for i, d in ((1, width), (2, width), (3, cout)):
+            for stat in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{pre}.bn{i}.{stat}"] = torch.randn(d)
+        if down:
+            sd[f"{pre}.downsample.0.weight"] = torch.randn(cout, cin, 1, 1)
+            for stat in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"{pre}.downsample.1.{stat}"] = torch.randn(cout)
+
+    cin = 64
+    for stage, (width, n) in enumerate(((64, 3), (128, 4), (256, 6), (512, 3))):
+        for j in range(n):
+            block(f"layer{stage + 1}.{j}", cin, width, width * 4, j == 0)
+            cin = width * 4
+    sd["fc.weight"] = torch.randn(1000, 2048)
+    sd["fc.bias"] = torch.randn(1000)
+
+    params, stats, leftover = convert_torch_weights.convert_state_dict(sd)
+    assert set(leftover) <= {"fc.weight", "fc.bias"}, leftover[:5]
+
+    bb = build_backbone("resnet50")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    template = jax.eval_shape(lambda: bb.init(jax.random.key(0), x))
+    got = {f"params/backbone/{k}" if not k.startswith("backbone/") else f"params/{k}": v
+           for k, v in params.items()}
+    got.update({f"batch_stats/backbone/{k.removeprefix('backbone/')}": v
+                for k, v in stats.items()})
+    tmpl = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(template)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+        # insert the backbone scope: template paths are params/<module>/...
+        parts = key.split("/")
+        tmpl["/".join([parts[0], "backbone", *parts[1:]])] = tuple(leaf.shape)
+    converted_keys = {k.replace("params/backbone/backbone/", "params/backbone/")
+                      for k in got}
+    missing = sorted(set(tmpl) - converted_keys)
+    assert not missing, missing[:10]

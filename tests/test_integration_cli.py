@@ -73,15 +73,19 @@ def test_train_then_eval_then_rescore(synth, train_cfg):
     assert os.path.exists(ckpt)
 
     preds = os.path.join(out, "preds.json")
+    show_dir = os.path.join(out, "show")
     r = _run([sys.executable, "test.py", "--coco-path", str(synth),
               "--model-config",
               "configs/relation_detr/relation_detr_resnet50_tiny_test.py",
               "--checkpoint", ckpt, "--batch-size", "2",
-              "--result-json", preds, "--max-images", "4"])
+              "--result-json", preds, "--max-images", "4",
+              "--show-dir", show_dir, "--show-conf", "0.0"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mAP" in r.stdout + r.stderr
     assert os.path.exists(preds)
     assert json.load(open(preds))
+    # --show-dir rendered one image per evaluated file (test.py:175-191 parity)
+    assert len(os.listdir(show_dir)) == 4
 
     # rescoring an existing json requires no model
     r = _run([sys.executable, "test.py", "--coco-path", str(synth),

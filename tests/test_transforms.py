@@ -108,3 +108,125 @@ def test_class_agnostic_dataset(tmp_path):
 
     ds = CocoDetection(str(img_dir), str(ann_file), class_agnostic=True)
     assert ds[0]["labels"].tolist() == [1]
+
+
+def test_multiscale_preset():
+    out = T.multiscale(seed=1)(make_sample())
+    assert out["image"].dtype == np.float32
+    assert min(out["image"].shape[:2]) in T.DETR_SCALES or \
+        max(out["image"].shape[:2]) <= 1333
+
+
+def test_ssd_and_ssdlite_presets_keep_valid_boxes():
+    for preset in (T.ssd(seed=3), T.ssdlite(seed=4)):
+        for seed in range(4):
+            out = preset(make_sample(seed=seed))
+            assert out["image"].dtype == np.float32
+            b = out["boxes"]
+            assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+            assert len(out["labels"]) == len(b)
+
+
+def test_rtdetr_preset_fixed_640():
+    out = T.rtdetr_transform(seed=5)(make_sample())
+    assert out["image"].shape[:2] == (640, 640)
+    assert out["image"].dtype == np.float32
+    b = out["boxes"]
+    assert (b >= -1e-3).all() and (b <= 640 + 1e-3).all()
+
+
+def test_random_iou_crop_keeps_centers_inside():
+    import random as _random
+
+    rng = _random.Random(7)
+    s = make_sample(seed=2)
+    for _ in range(8):
+        out = T.random_iou_crop(s, rng)
+        h, w = out["image"].shape[:2]
+        b = out["boxes"]
+        cx = (b[:, 0] + b[:, 2]) / 2
+        cy = (b[:, 1] + b[:, 3]) / 2
+        assert (cx >= 0).all() and (cx <= w).all()
+        assert (cy >= 0).all() and (cy <= h).all()
+
+
+def test_random_zoom_out_shifts_boxes_consistently():
+    import random as _random
+
+    rng = _random.Random(9)
+    s = make_sample()
+    out = T.random_zoom_out(s, rng, p=1.0)
+    assert out["image"].shape[0] >= s["image"].shape[0]
+    # box sizes unchanged
+    np.testing.assert_allclose(
+        out["boxes"][:, 2:] - out["boxes"][:, :2],
+        s["boxes"][:, 2:] - s["boxes"][:, :2], rtol=1e-6)
+
+
+def test_mask_copy_paste_composites_and_occludes():
+    """Mask-based SimpleCopyPaste (simple_copy_paste.py): pasted object
+    pixels come from the other image, occluded originals are dropped, boxes
+    are recomputed from surviving masks."""
+
+    def with_masks(s):
+        h, w = s["image"].shape[:2]
+        masks = np.zeros((len(s["boxes"]), h, w), np.uint8)
+        for i, (x0, y0, x1, y1) in enumerate(s["boxes"].astype(int)):
+            masks[i, y0:y1, x0:x1] = 1
+        return {**s, "masks": masks}
+
+    class DS:
+        def __init__(self):
+            self.samples = [with_masks(make_sample(seed=i)) for i in range(4)]
+        def __len__(self):
+            return len(self.samples)
+        def __getitem__(self, i):
+            return self.samples[i]
+
+    ds = DS()
+    cp = SimpleCopyPaste(ds, p=1.0, blending=False, seed=0)
+    s = with_masks(make_sample(seed=9))
+    out = cp(s)
+    assert "masks" in out and len(out["masks"]) == len(out["boxes"]) == len(out["labels"])
+    # pasted pixels match the source image under the pasted union mask
+    assert len(out["boxes"]) >= 1
+    b = out["boxes"]
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+    # boxes bound their masks exactly
+    for box, m in zip(out["boxes"], out["masks"]):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            np.testing.assert_allclose(
+                box, [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], atol=1.5)
+
+
+def test_coco_return_masks(tmp_path):
+    """CocoDetection(return_masks=True) rasterizes polygons to (N, H, W)."""
+    import json
+    from relation_detr_tpu.data.coco import CocoDetection
+
+    img = np.zeros((32, 48, 3), np.uint8)
+    import cv2 as _cv2
+
+    (tmp_path / "imgs").mkdir()
+    _cv2.imwrite(str(tmp_path / "imgs" / "a.jpg"), img)
+    ann = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 32, "width": 48}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 2, "iscrowd": 0,
+             "bbox": [4, 4, 10, 8],
+             "segmentation": [[4, 4, 14, 4, 14, 12, 4, 12]]},
+            {"id": 2, "image_id": 1, "category_id": 3, "iscrowd": 0,
+             "bbox": [20, 10, 6, 6], "segmentation": []},
+        ],
+        "categories": [{"id": 2}, {"id": 3}],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    ds = CocoDetection(str(tmp_path / "imgs"), str(tmp_path / "ann.json"),
+                       return_masks=True)
+    s = ds[0]
+    assert s["masks"].shape == (2, 32, 48)
+    # polygon mask covers the rectangle interior
+    assert s["masks"][0, 8, 8] == 1 and s["masks"][0, 20, 20] == 0
+    # no-segmentation falls back to the box rectangle
+    assert s["masks"][1, 12, 22] == 1

@@ -60,9 +60,11 @@ def convert_state_dict(sd: Dict[str, np.ndarray]):
     def has(key):
         return key in sd
 
-    # ---- backbone (torchvision resnet names under backbone.body.*) ----
-    bb_prefixes = [p for p in ("backbone.body.", "backbone.") if any(
-        k.startswith(p + "conv1") for k in sd)]
+    # ---- backbone (torchvision resnet names under backbone.body.*; a bare
+    # torchvision ImageNet checkpoint with top-level conv1/layerN keys also
+    # converts — the reference loads those URLs directly, resnet.py:344-414) ----
+    bb_prefixes = [p for p in ("backbone.body.", "backbone.", "") if any(
+        k.startswith(p + "conv1.weight") for k in sd)]
     bb = bb_prefixes[0] if bb_prefixes else "backbone.body."
     if has(bb + "conv1.weight"):
         _conv(params, "backbone/conv1", take(bb + "conv1.weight"))
@@ -75,7 +77,22 @@ def convert_state_dict(sd: Dict[str, np.ndarray]):
             continue
         stage, block, rest = int(m.group(1)), int(m.group(2)), m.group(3)
         dst = f"backbone/layer{stage}_{block}"
-        if rest.startswith("conv") and rest.endswith(".weight"):
+        if ".conv_offset." in rest or ".conv_mask." in rest:
+            # DCN variant (DeformConv2dPack offset/mask convs,
+            # reference deform_conv2d_pack.py:9-81)
+            conv, sub, kind = rest.split(".")
+            if kind == "weight":
+                _conv(params, f"{dst}/{conv}/{sub}", take(key))
+            else:
+                params[f"{dst}/{conv}/{sub}/bias"] = _t(take(key))
+        elif rest == "conv2.weight" and has(
+            f"{bb}layer{stage}.{block}.conv2.conv_offset.weight"
+        ):
+            # torchvision DeformConv2d weight (O, I//g, kh, kw) -> our tap
+            # kernel (kh*kw, I//g, O)
+            w = _t(take(key)).transpose(2, 3, 1, 0)
+            params[f"{dst}/conv2/kernel"] = w.reshape(-1, *w.shape[2:])
+        elif rest.startswith("conv") and rest.endswith(".weight"):
             _conv(params, f"{dst}/{rest.split('.')[0]}", take(key))
         elif rest.startswith("bn"):
             name, stat = rest.split(".")
@@ -85,6 +102,56 @@ def convert_state_dict(sd: Dict[str, np.ndarray]):
         elif rest.startswith("downsample.1."):
             stat = rest.split(".")[-1]
             stats[f"{dst}/downsample_bn/{stat}"] = _t(take(key))
+
+    # ---- backbone: swin (torchvision layout under backbone.0.features.*,
+    # reference swin.py:780-789; v2 adds logit_scale + cpb_mlp) ----
+    swin_prefixes = [p for p in ("backbone.0.", "backbone.", "") if
+                     (p + "features.0.0.weight") in sd]
+    if swin_prefixes:
+        sp = swin_prefixes[0] + "features."
+        _conv(params, "backbone/patch_embed", take(sp + "0.0.weight"),
+              take(sp + "0.0.bias"))
+        _layernorm(params, "backbone/patch_norm", take(sp + "0.2.weight"),
+                   take(sp + "0.2.bias"))
+        for stage in range(4):
+            if stage > 0 and has(f"{sp}{2 * stage}.reduction.weight"):
+                _linear(params, f"backbone/merge{stage}/reduction",
+                        take(f"{sp}{2 * stage}.reduction.weight"))
+                _layernorm(params, f"backbone/merge{stage}/norm",
+                           take(f"{sp}{2 * stage}.norm.weight"),
+                           take(f"{sp}{2 * stage}.norm.bias"))
+            j = 0
+            while has(f"{sp}{2 * stage + 1}.{j}.norm1.weight"):
+                src = f"{sp}{2 * stage + 1}.{j}"
+                dst = f"backbone/stage{stage}_block{j}"
+                for n in ("norm1", "norm2"):
+                    _layernorm(params, f"{dst}/{n}", take(f"{src}.{n}.weight"),
+                               take(f"{src}.{n}.bias"))
+                _linear(params, f"{dst}/attn/qkv", take(f"{src}.attn.qkv.weight"),
+                        take(f"{src}.attn.qkv.bias"))
+                _linear(params, f"{dst}/attn/proj", take(f"{src}.attn.proj.weight"),
+                        take(f"{src}.attn.proj.bias"))
+                if has(f"{src}.attn.logit_scale"):  # v2
+                    params[f"{dst}/attn/logit_scale"] = _t(
+                        take(f"{src}.attn.logit_scale"))
+                    _linear(params, f"{dst}/attn/cpb_fc1",
+                            take(f"{src}.attn.cpb_mlp.0.weight"),
+                            take(f"{src}.attn.cpb_mlp.0.bias"))
+                    _linear(params, f"{dst}/attn/cpb_fc2",
+                            take(f"{src}.attn.cpb_mlp.2.weight"))
+                else:
+                    params[f"{dst}/attn/relative_position_bias_table"] = _t(
+                        take(f"{src}.attn.relative_position_bias_table"))
+                _linear(params, f"{dst}/mlp_fc1", take(f"{src}.mlp.0.weight"),
+                        take(f"{src}.mlp.0.bias"))
+                _linear(params, f"{dst}/mlp_fc2", take(f"{src}.mlp.3.weight"),
+                        take(f"{src}.mlp.3.bias"))
+                # static buffers we recompute at trace time
+                for buf in ("attn.relative_position_index",
+                            "attn.relative_coords_table"):
+                    if has(f"{src}.{buf}"):
+                        handled.add(f"{src}.{buf}")
+                j += 1
 
     # ---- neck ----
     for key in list(sd):
@@ -160,11 +227,12 @@ def convert_state_dict(sd: Dict[str, np.ndarray]):
         ffn_norms(src, dst, ("norm1", "norm2", "norm3"))
         dec_idx += 1
 
-    # decoder heads / embeds
-    mlp(f"{t}decoder.ref_point_head", "transformer/decoder/ref_point_head", 2)
-    mlp(f"{t}decoder.query_scale", "transformer/decoder/query_scale", 2)
-    _layernorm(params, "transformer/decoder/norm",
-               take(f"{t}decoder.norm.weight"), take(f"{t}decoder.norm.bias"))
+    # decoder heads / embeds (absent in backbone-only checkpoints)
+    if has(f"{t}decoder.ref_point_head.layers.0.weight"):
+        mlp(f"{t}decoder.ref_point_head", "transformer/decoder/ref_point_head", 2)
+        mlp(f"{t}decoder.query_scale", "transformer/decoder/query_scale", 2)
+        _layernorm(params, "transformer/decoder/norm",
+                   take(f"{t}decoder.norm.weight"), take(f"{t}decoder.norm.bias"))
     for i in range(dec_idx):
         _linear(params, f"transformer/decoder/class_head_{i}",
                 take(f"{t}decoder.class_head.{i}.weight"),

@@ -1,12 +1,15 @@
-"""Export the eval forward to StableHLO (the TPU-native analogue of the
-reference's ONNX export, /root/reference/tools/pytorch2onnx.py).
+"""Export the eval forward as a serialized StableHLO artifact (the TPU-native
+analogue of the reference's ONNX export, /root/reference/tools/pytorch2onnx.py).
 
     python tools/export_model.py --model-config configs/... \
-        [--checkpoint x.npz] --output model.stablehlo [--verify]
+        [--checkpoint x.npz] --output model.jaxexport [--verify] [--mlir-out m.mlir]
 
-The exported module is the jitted eval forward at a fixed canvas; numeric
-verification compares a reload-free second trace against the live model
-(rtol 1e-3 / atol 1e-5, matching pytorch2onnx.py:116-129).
+The artifact is a jax.export serialization (portable StableHLO + calling
+convention) of the jitted eval forward at a fixed canvas. ``--verify``
+round-trips the artifact THROUGH DISK — reads the written file back,
+deserializes, executes it, and compares against the live model at
+rtol 1e-3 / atol 1e-5, matching the reference's onnxruntime verification
+(pytorch2onnx.py:116-129). A corrupted file fails verification.
 """
 from __future__ import annotations
 
@@ -18,6 +21,7 @@ sys.path.insert(0, ".")
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import export as jax_export
 
 
 def parse_args():
@@ -26,21 +30,25 @@ def parse_args():
                    default="configs/relation_detr/relation_detr_resnet50_800_1333.py")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--output", required=True)
+    p.add_argument("--mlir-out", default=None,
+                   help="also dump human-readable StableHLO text here")
     p.add_argument("--height", type=int, default=800)
     p.add_argument("--width", type=int, default=1344)
     p.add_argument("--verify", action="store_true")
     return p.parse_args()
 
 
-def main():
-    args = parse_args()
+def build_serving_fn(model_config: str, height: int, width: int,
+                     checkpoint: str = None):
+    """Returns (serving_fn, example_args). serving_fn closes over weights and
+    maps (images, mask, target_sizes) -> (scores, labels, boxes)."""
     from relation_detr_tpu.models.post_process import post_process
     from relation_detr_tpu.utils.checkpoint import load_weights
     from relation_detr_tpu.utils.config import Config
 
-    cfg = Config(args.model_config)
+    cfg = Config(model_config)
     model = cfg.model
-    B, H, W, G = 1, args.height, args.width, 8
+    B, H, W, G = 1, height, width, 8
     images = jnp.zeros((B, H, W, 3), jnp.float32)
     mask = jnp.zeros((B, H, W), bool)
     variables = jax.jit(
@@ -51,9 +59,9 @@ def main():
             train=True,
         )
     )()
-    if args.checkpoint:
+    if checkpoint:
         variables = dict(variables)
-        variables["params"] = load_weights(args.checkpoint, variables["params"])
+        variables["params"] = load_weights(checkpoint, variables["params"])
 
     topk = cfg.get("select_box_nums_for_evaluation", 300)
 
@@ -63,23 +71,40 @@ def main():
         return det["scores"], det["labels"], det["boxes"]
 
     sizes = jnp.asarray([[float(H), float(W)]], jnp.float32)
-    lowered = jax.jit(serving_fn).lower(images, mask, sizes)
-    stablehlo = lowered.as_text(dialect="stablehlo")
-    with open(args.output, "w") as f:
-        f.write(stablehlo)
-    print(f"wrote {len(stablehlo)} bytes of StableHLO to {args.output}")
+    return serving_fn, (images, mask, sizes)
+
+
+def main():
+    args = parse_args()
+    serving_fn, (images, mask, sizes) = build_serving_fn(
+        args.model_config, args.height, args.width, args.checkpoint
+    )
+
+    exported = jax_export.export(jax.jit(serving_fn))(images, mask, sizes)
+    blob = exported.serialize()
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(f"wrote {len(blob)} bytes (serialized StableHLO) to {args.output}")
+    if args.mlir_out:
+        with open(args.mlir_out, "w") as f:
+            f.write(exported.mlir_module())
+        print(f"wrote StableHLO text to {args.mlir_out}")
 
     if args.verify:
+        # true round trip: re-read the artifact from disk and execute it
+        with open(args.output, "rb") as f:
+            reloaded = jax_export.deserialize(f.read())
         rng = np.random.RandomState(0)
-        x = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
-        s1 = jax.jit(serving_fn)(x, mask, sizes)
-        s2 = serving_fn(x, mask, sizes)
-        for a, b, name in zip(s1, s2, ("scores", "labels", "boxes")):
+        x = jnp.asarray(rng.randn(*images.shape).astype(np.float32))
+        live = jax.jit(serving_fn)(x, mask, sizes)
+        roundtrip = reloaded.call(x, mask, sizes)
+        for a, b, name in zip(roundtrip, live, ("scores", "labels", "boxes")):
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
-                rtol=1e-3, atol=1e-5,
+                rtol=1e-3, atol=1e-5, err_msg=name,
             )
-        print("verify: jitted vs eager outputs match (rtol 1e-3, atol 1e-5)")
+        print("verify: deserialized artifact matches live model "
+              "(rtol 1e-3, atol 1e-5)")
 
 
 if __name__ == "__main__":

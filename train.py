@@ -52,16 +52,32 @@ def parse_args():
     p.add_argument("--tensorboard", action="store_true", help="log to <output>/tb")
     p.add_argument("--profile-steps", default=None,
                    help="START,STOP step range to capture a jax profiler trace")
+    p.add_argument("--mixed-precision", default="no", choices=("no", "bf16"),
+                   help="bf16 compute for backbone + transformer matmuls "
+                        "(params stay fp32; MSDA core/softmax/loss stay fp32 "
+                        "— the reference's AMP islands, main.py:28-35)")
+    p.add_argument("--msda-impl", default=None,
+                   help="MSDA kernel override (auto|corner_pack|gather|...)")
+    p.add_argument("--msda-halos", default=None,
+                   help="comma per-level tiled-kernel halo radii (e.g. "
+                        "8,6,4,3 = exact at any offset; default 4,3,2,2)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from relation_detr_tpu.ops.msda import apply_msda_cli_flags
+
+    apply_msda_cli_flags(args)
     cfg = Config(args.config_file)
     model_cfg = Config(args.model_config or cfg.model_path)
 
     model = model_cfg.model
     criterion_cfg: CriterionConfig = model_cfg.criterion
+    if args.mixed_precision == "bf16":
+        model = model.clone(
+            backbone_dtype="bfloat16", compute_dtype="bfloat16"
+        )
 
     # multi-host: initialize the jax distributed runtime when launched under
     # a multi-process coordinator (replaces init_distributed_mode,
