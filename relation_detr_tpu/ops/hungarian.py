@@ -82,7 +82,11 @@ def _augment_row(state: _SolverState, cost_row_fn, cur_row: jnp.ndarray, num_row
     u = u + jnp.where(other_sr, min_val - spc_at_col4row, 0.0)
     v = v - jnp.where(sc, min_val - spc, 0.0)
 
-    # Backtrack the augmenting path.
+    # Backtrack the augmenting path. A broken path entry (-1) terminates the
+    # loop instead of cycling: with non-finite costs the Dijkstra pass never
+    # relaxes any column, `path` stays -1, and an unguarded backtrack
+    # while_loop would spin forever ON DEVICE (one NaN batch would hang the
+    # whole training job rather than reach the non-finite skip logic).
     def aug_cond(carry):
         done = carry[3]
         return ~done
@@ -91,9 +95,9 @@ def _augment_row(state: _SolverState, cost_row_fn, cur_row: jnp.ndarray, num_row
         j, r4c, c4r, _ = carry
         i = path[j]
         r4c = r4c.at[j].set(i)
-        j_next = c4r[i]
-        c4r = c4r.at[i].set(j)
-        return (j_next, r4c, c4r, i == cur_row)
+        j_next = c4r[jnp.maximum(i, 0)]
+        c4r = c4r.at[jnp.maximum(i, 0)].set(jnp.where(i < 0, c4r[0], j))
+        return (j_next, r4c, c4r, (i == cur_row) | (i < 0))
 
     _, row4col, col4row, _ = jax.lax.while_loop(
         aug_cond, aug_body, (sink, row4col, col4row, jnp.bool_(False))
@@ -115,6 +119,12 @@ def hungarian_assignment(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarra
     """
     num_rows, num_cols = cost.shape
     cost = cost.astype(jnp.float32)
+    # non-finite costs (e.g. a NaN forward before the train step's
+    # non-finite skip engages) must not stall the solver: clamp them to a
+    # large finite value so every while_loop still terminates; the resulting
+    # assignment is garbage but the step's loss is non-finite anyway, so the
+    # skip logic discards it (scipy raises here; an on-device solver cannot).
+    cost = jnp.where(jnp.isfinite(cost), jnp.clip(cost, -_INF, _INF), _INF)
 
     def cost_row_fn(i):
         return cost[i]

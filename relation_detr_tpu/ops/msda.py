@@ -55,12 +55,16 @@ _MSDA_DEFAULTS = {
     # corner_pack levels with <= this many rows use a one-hot MXU matmul
     # instead of a row gather (exact; beats the issue-bound gather there)
     "dense_level_rows": 1536,
+    # tiled prep layout: "t_minor" transposes T to the minor dim;
+    # "t_major" keeps the take's natural order with no transposes
+    "tiled_layout": "t_minor",
 }
 
 
 def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_halos=None, tiled_tile_tokens=None,
-                      tiled_margin=None, dense_level_rows=None):
+                      tiled_margin=None, dense_level_rows=None,
+                      tiled_layout=None):
     if impl is not None:
         _MSDA_DEFAULTS["impl"] = impl
     if gather_dtype is not None:
@@ -75,6 +79,8 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
         _MSDA_DEFAULTS["tiled_margin"] = tiled_margin
     if dense_level_rows is not None:
         _MSDA_DEFAULTS["dense_level_rows"] = dense_level_rows
+    if tiled_layout is not None:
+        _MSDA_DEFAULTS["tiled_layout"] = tiled_layout
 
 
 def apply_msda_cli_flags(args) -> None:
@@ -91,10 +97,11 @@ def apply_msda_cli_flags(args) -> None:
 @contextlib.contextmanager
 def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
-                  dense_level_rows=None):
+                  dense_level_rows=None, tiled_layout=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
-                      tiled_tile_tokens, tiled_margin, dense_level_rows)
+                      tiled_tile_tokens, tiled_margin, dense_level_rows,
+                      tiled_layout)
     try:
         yield
     finally:
@@ -366,14 +373,18 @@ def _msda_tiled(
     # traffic (measured 29.5 ms/op vs 6.3 ms kernel before this layout).
     # The take runs on lane-packed (B, Q, H*L*P*{2,1}) rows, then ONE
     # transpose per tensor moves T to the back.
+    # ("t_major" keeps the take's natural (B,nt,T,...) order with no
+    # transposes at all and lets XLA assign layouts inside the fusion.)
+    t_major = _MSDA_DEFAULTS.get("tiled_layout") == "t_major"
     loc_t = jnp.take(
         sampling_locations.reshape(bs, num_queries, -1), permf, axis=1
     ).reshape(bs, nt, T, num_heads, num_levels, num_points, 2)
-    loc_t = jnp.transpose(loc_t, (0, 1, 3, 4, 5, 6, 2))  # (B,nt,H,L,P,2,T)
     attn_t = jnp.take(
         attention_weights.reshape(bs, num_queries, -1), permf, axis=1
     ).reshape(bs, nt, T, num_heads, num_levels, num_points)
-    attn_t = jnp.transpose(attn_t, (0, 1, 3, 4, 5, 2))  # (B,nt,H,L,P,T)
+    if not t_major:
+        loc_t = jnp.transpose(loc_t, (0, 1, 3, 4, 5, 6, 2))  # (B,nt,H,L,P,2,T)
+        attn_t = jnp.transpose(attn_t, (0, 1, 3, 4, 5, 2))  # (B,nt,H,L,P,T)
 
     vflat = value.astype(gather_dtype).reshape(bs, total, num_heads * head_dim)
     out = jnp.zeros((bs, nt, T, num_heads, head_dim), jnp.float32)
@@ -416,20 +427,28 @@ def _msda_tiled(
 
         by = jnp.asarray(y0s).reshape(1, nt, 1, 1, 1)
         bx = jnp.asarray(x0s).reshape(1, nt, 1, 1, 1)
-        loc = loc_t[:, :, :, lvl]  # (B,nt,H,P,2,T)
-        x = loc[:, :, :, :, 0] * w - 0.5  # (B,nt,H,P,T) — T stays minor
-        y = loc[:, :, :, :, 1] * h - 0.5
+        if t_major:
+            loc = loc_t[:, :, :, :, lvl]  # (B,nt,T,H,P,2)
+            x = loc[..., 0] * w - 0.5  # (B,nt,T,H,P)
+            y = loc[..., 1] * h - 0.5
+            attn = attn_t[:, :, :, :, lvl]  # (B,nt,T,H,P)
+        else:
+            loc = loc_t[:, :, :, lvl]  # (B,nt,H,P,2,T)
+            x = loc[:, :, :, :, 0] * w - 0.5  # (B,nt,H,P,T) — T stays minor
+            y = loc[:, :, :, :, 1] * h - 0.5
+            attn = attn_t[:, :, :, lvl]  # (B,nt,H,P,T)
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         fx = x - x0
         fy = y - y0
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
-        attn = attn_t[:, :, :, lvl]  # (B,nt,H,P,T)
 
         # per-entry patch-row index + folded weight (E = 4 corners * P),
-        # built directly in the kernel's (B,nt,H,E,T) layout
+        # built directly in the kernel's entry layout ((B,nt,H,E,T), or
+        # (B,nt,T,H,E) for t_major)
         ms, ws = [], []
+        entry_axis = -1 if t_major else -2
         for dy, wy in ((0, 1.0 - fy), (1, fy)):
             cy = y0i + dy
             ly = jnp.clip(cy - by, 0, ph - 1)
@@ -437,10 +456,10 @@ def _msda_tiled(
             for dx, wx in ((0, 1.0 - fx), (1, fx)):
                 cx = x0i + dx
                 lx = jnp.clip(cx - bx, 0, pw - 1)
-                ms.append(ly * pw + lx)  # (B,nt,H,P,T)
+                ms.append(ly * pw + lx)
                 ws.append(attn * wy * wx * ((cx >= 0) & (cx < w) & vy))
-        m_all = jnp.concatenate(ms, axis=-2)  # (B,nt,H,E,T)
-        w_all = jnp.concatenate(ws, axis=-2)
+        m_all = jnp.concatenate(ms, axis=entry_axis)
+        w_all = jnp.concatenate(ws, axis=entry_axis)
 
         if use_pallas:
             from relation_detr_tpu.ops.msda_pallas import tiled_matmul_core
@@ -454,6 +473,23 @@ def _msda_tiled(
                 (num_heads, head_dim),
             )  # (B,nt,T,C)
             out = out + contrib.reshape(bs, nt, T, num_heads, head_dim)
+        elif t_major:
+            m_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, 1, 1, 1, ph * pw), 5
+            )
+            # A built in the out layout directly: (B,nt,T,H,M), E reduced
+            a_mat = jnp.sum(
+                w_all.astype(tiled_dtype)[..., None]
+                * (m_all[..., None] == m_iota).astype(tiled_dtype),
+                axis=-2,
+            )  # (B,nt,T,H,M)
+            contrib = jnp.einsum(
+                "bnthm,bnmhd->bnthd",
+                a_mat,
+                patch.astype(tiled_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out = out + contrib
         else:
             m_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, 1, 1, 1, ph * pw), 5

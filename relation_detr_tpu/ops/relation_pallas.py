@@ -32,8 +32,9 @@ def _use_interpret() -> bool:
 
 
 # benchmark A/B switch: models/relation.py routes through the fused kernel
-# only when this is on (and the backend is TPU)
-_FUSED = {"enabled": True}
+# only when this is on (and the backend is TPU); "version" picks the kernel
+# body (1 = per-head VPU accumulate, 2 = (64,L) feature block + MXU dot)
+_FUSED = {"enabled": True, "version": 1}
 
 
 def set_fused_relation(enabled: bool) -> None:
@@ -93,29 +94,55 @@ def _fused_fwd(rel, kernel, bias, embed_dim, temperature, scale):
     b, n1, n2, n_coords = rel.shape
     num_heads = kernel.shape[1]
     freqs = tuple(float(f) for f in _freqs(embed_dim, temperature, scale))
-    total = b * n1 * n2
-    rel_t = jnp.moveaxis(rel, -1, 0).reshape(n_coords, total)  # fuses upward
-    blk = 4096
-    body = functools.partial(_kernel_v2, freqs=freqs)
-    out = pl.pallas_call(
+    if _FUSED["version"] == 2:
+        total = b * n1 * n2
+        rel_t = jnp.moveaxis(rel, -1, 0).reshape(n_coords, total)
+        blk = 4096
+        body = functools.partial(_kernel_v2, freqs=freqs)
+        out = pl.pallas_call(
+            body,
+            grid=(pl.cdiv(total, blk),),
+            in_specs=[
+                pl.BlockSpec((n_coords, blk), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_heads, kernel.shape[0]), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, num_heads), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((num_heads, blk), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_heads, total), jnp.float32),
+            interpret=_use_interpret(),
+        )(rel_t.astype(jnp.float32),
+          jnp.transpose(kernel.astype(jnp.float32), (1, 0)),
+          bias.reshape(1, num_heads).astype(jnp.float32))
+        return jnp.transpose(out.reshape(num_heads, b, n1, n2), (1, 0, 2, 3))
+
+    rel_t = jnp.moveaxis(rel, -1, 0)  # (4, B, N1, N2); fuses into producers
+    # block height: 8 head accumulators + double-buffered in/out blocks must
+    # fit the ~16 MB scoped-VMEM budget (measured: bn1=128 at N2=900 OOMs)
+    bn1 = min(n1, 32)
+    grid = (b, pl.cdiv(n1, bn1))
+    body = functools.partial(_kernel, freqs=freqs, num_heads=num_heads)
+    return pl.pallas_call(
         body,
-        grid=(pl.cdiv(total, blk),),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((n_coords, blk), lambda j: (0, j),
+            pl.BlockSpec((n_coords, 1, bn1, n2), lambda i, j: (0, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads, kernel.shape[0]), lambda j: (0, 0),
+            pl.BlockSpec(kernel.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, num_heads), lambda j: (0, 0),
+            pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((num_heads, blk), lambda j: (0, j),
+        out_specs=pl.BlockSpec((1, num_heads, bn1, n2),
+                               lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_heads, total), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, n1, n2), jnp.float32),
         interpret=_use_interpret(),
-    )(rel_t.astype(jnp.float32),
-      jnp.transpose(kernel.astype(jnp.float32), (1, 0)),
+    )(rel_t.astype(jnp.float32), kernel.astype(jnp.float32),
       bias.reshape(1, num_heads).astype(jnp.float32))
-    return jnp.transpose(out.reshape(num_heads, b, n1, n2), (1, 0, 2, 3))
 
 
 def _reference_bias(rel, kernel, bias, embed_dim, temperature, scale):

@@ -61,3 +61,20 @@ def test_jit_compiles():
     f = jax.jit(hungarian_assignment)
     out = f(cost, jnp.ones((8,), bool))
     assert out.shape == (8,)
+
+
+def test_nan_cost_terminates_and_is_discardable():
+    """Non-finite costs must not hang the on-device while_loops (regression:
+    a NaN batch stalled the whole train step before the non-finite skip could
+    engage). The assignment value is unspecified — only termination and shape
+    are contracted."""
+    import jax.numpy as jnp
+    from relation_detr_tpu.ops.hungarian import hungarian_assignment
+
+    cost = jnp.full((4, 6), jnp.nan, jnp.float32)
+    out = hungarian_assignment(cost, jnp.ones((4,), bool))
+    assert out.shape == (4,)
+
+    half = jnp.where(jnp.arange(6)[None, :] < 3, jnp.nan, 1.0) * jnp.ones((4, 1))
+    out = hungarian_assignment(half.astype(jnp.float32), jnp.ones((4,), bool))
+    assert out.shape == (4,)

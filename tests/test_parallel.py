@@ -38,11 +38,25 @@ def setup():
     return model, cfg, batch, variables
 
 
+_STEP_CACHE = {}
+
+
+def _get_step(model, cfg, n_devs):
+    """One compiled train step per mesh size for the whole module — each
+    make_train_step call builds a fresh jit closure (cache miss), and a full
+    train-step compile costs minutes on this container's single CPU core."""
+    key = n_devs
+    if key not in _STEP_CACHE:
+        mesh = create_mesh(jax.devices()[:n_devs])
+        tx = build_optimizer(optax.constant_schedule(1e-4))
+        step = make_train_step(model, cfg, tx, mesh, donate=False)
+        _STEP_CACHE[key] = (mesh, tx, step)
+    return _STEP_CACHE[key]
+
+
 def _run_step(model, cfg, batch, variables, devices):
-    mesh = create_mesh(devices)
-    tx = build_optimizer(optax.constant_schedule(1e-4))
+    mesh, tx, step = _get_step(model, cfg, len(devices))
     state = create_train_state(variables, tx)
-    step = make_train_step(model, cfg, tx, mesh, donate=False)
     sharded = shard_batch(mesh, batch)
     new_state, metrics = step(state, sharded, jax.random.key(7))
     return new_state, metrics
@@ -66,10 +80,8 @@ def test_nonfinite_step_skipped(setup):
     model, cfg, batch, variables = setup
     bad = dict(batch)
     bad["images"] = batch["images"].at[0, 0, 0, 0].set(jnp.nan)
-    mesh = create_mesh(jax.devices()[:8])
-    tx = build_optimizer(optax.constant_schedule(1e-4))
+    mesh, tx, step = _get_step(model, cfg, 8)
     state = create_train_state(variables, tx)
-    step = make_train_step(model, cfg, tx, mesh, donate=False)
     new_state, metrics = step(state, shard_batch(mesh, bad), jax.random.key(7))
     assert int(metrics["nonfinite_count"]) == 1
     assert int(metrics["first_nonfinite_step"]) == 0
@@ -117,12 +129,10 @@ def test_cross_mesh_checkpoint_resume(setup, tmp_path, save_devs, restore_devs):
     from relation_detr_tpu.utils.checkpoint import CheckpointManager
 
     model, cfg, batch, variables = setup
-    tx = build_optimizer(optax.constant_schedule(1e-4))
 
     def make_state(n_devs):
-        mesh = create_mesh(jax.devices()[:n_devs])
-        state = create_train_state(variables, tx)
-        step = make_train_step(model, cfg, tx, mesh, donate=False)
+        mesh, tx_c, step = _get_step(model, cfg, n_devs)
+        state = create_train_state(variables, tx_c)
         sub = {k: v[: max(n_devs, 1)] for k, v in batch.items()}
         state, _ = step(state, shard_batch(mesh, sub), jax.random.key(3))
         return state
@@ -132,7 +142,7 @@ def test_cross_mesh_checkpoint_resume(setup, tmp_path, save_devs, restore_devs):
     ckpt.save(0, saved)
 
     # fresh template laid out for the restore mesh
-    restore_mesh = create_mesh(jax.devices()[:restore_devs])
+    restore_mesh, tx, step = _get_step(model, cfg, restore_devs)
     template = create_train_state(variables, tx)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -143,7 +153,6 @@ def test_cross_mesh_checkpoint_resume(setup, tmp_path, save_devs, restore_devs):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(saved.step) == 1
     # restored state can take a step on the new mesh
-    step = make_train_step(model, cfg, tx, restore_mesh, donate=False)
     sub = {k: v[: max(restore_devs, 1)] for k, v in batch.items()}
     _, metrics = step(restored, shard_batch(restore_mesh, sub), jax.random.key(4))
     assert np.isfinite(float(metrics["total_loss"]))
