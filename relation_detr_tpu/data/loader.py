@@ -65,7 +65,10 @@ def collate(
     else:
         canvas_h, canvas_w = pick_canvas(max_h, max_w, buckets)
 
-    images = np.zeros((bs, canvas_h, canvas_w, 3), np.float32)
+    # canvas dtype follows the samples: uint8 when the transform defers
+    # normalization to the device (EvalPreset(normalize_host=False))
+    img_dtype = samples[0]["image"].dtype
+    images = np.zeros((bs, canvas_h, canvas_w, 3), img_dtype)
     mask = np.ones((bs, canvas_h, canvas_w), bool)
     gt_boxes = np.zeros((bs, max_gt, 4), np.float32)
     gt_labels = np.full((bs, max_gt), -1, np.int32)

@@ -109,16 +109,23 @@ class DetrPreset:
 
 class EvalPreset:
     """Eval resize+normalize, host-side equivalent of the in-model transform
-    (/root/reference/models/detectors/base_detector.py:60-80)."""
+    (/root/reference/models/detectors/base_detector.py:60-80).
 
-    def __init__(self, min_size: int = 800, max_size: int = 1333):
+    ``normalize_host=False`` keeps uint8 pixels; the jitted detections fn
+    normalizes on device (utils/evaluation.py::make_detections_fn). Same
+    math, but the host->device upload shrinks 4x — on this container's axon
+    relay the fp32 image upload was the eval bottleneck (PERF.md)."""
+
+    def __init__(self, min_size: int = 800, max_size: int = 1333,
+                 normalize_host: bool = True):
         self.min_size = min_size
         self.max_size = max_size
+        self.normalize_host = normalize_host
 
     def __call__(self, sample: Dict) -> Dict:
-        return normalize(
-            resize_shortest(sample, self.min_size, self.max_size, antialias=True)
-        )
+        sample = resize_shortest(sample, self.min_size, self.max_size,
+                                 antialias=True)
+        return normalize(sample) if self.normalize_host else sample
 
 
 def scale_jitter(sample: Dict, target_size, scale_range, rng: random.Random) -> Dict:
@@ -183,49 +190,137 @@ class Compose:
         return sample
 
 
-class ColorAugmentations:
-    """Photometric augs in the spirit of the ``strong_album`` preset
-    (/root/reference/transforms/presets.py:96-159): random brightness/
-    contrast, HSV jitter, blur, and JPEG compression — cv2-based, applied on
-    uint8 RGB before normalization."""
+def shift_image(sample: Dict, dx_frac: float, dy_frac: float) -> Dict:
+    """A.ShiftScaleRotate with shift only (scale 0, rotate 0): translate the
+    image with constant-0 border and shift boxes, dropping fully-off-canvas
+    ones (BboxParams min_visibility=0.0 semantics — presets.py:109-117,150)."""
+    img = sample["image"]
+    h, w = img.shape[:2]
+    dx, dy = round(w * dx_frac), round(h * dy_frac)
+    mat = np.float32([[1, 0, dx], [0, 1, dy]])
+    out = cv2.warpAffine(img, mat, (w, h), flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    boxes = sample["boxes"] + np.asarray([dx, dy, dx, dy], np.float32)
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+    keep = (boxes[:, 2] > boxes[:, 0]) & (boxes[:, 3] > boxes[:, 1])
+    result = {**sample, "image": out, "boxes": boxes[keep],
+              "labels": sample["labels"][keep]}
+    if "masks" in sample and len(sample["masks"]):
+        result["masks"] = np.stack([
+            cv2.warpAffine(m, mat, (w, h), flags=cv2.INTER_NEAREST)
+            for m in sample["masks"]
+        ])[keep]
+    return result
 
-    def __init__(self, p: float = 0.5, seed: int = 0):
-        self.p = p
+
+def vflip(sample: Dict) -> Dict:
+    image = sample["image"][::-1]
+    boxes = sample["boxes"].copy()
+    h = sample["image"].shape[0]
+    boxes[:, [1, 3]] = h - boxes[:, [3, 1]]
+    result = {**sample, "image": np.ascontiguousarray(image), "boxes": boxes}
+    if "masks" in sample and len(sample["masks"]):
+        result["masks"] = np.ascontiguousarray(sample["masks"][:, ::-1])
+    return result
+
+
+class ColorAugmentations:
+    """Parameter-exact port of the ``strong_album`` albumentations block
+    (/root/reference/transforms/presets.py:106-151):
+
+      ShiftScaleRotate(shift<=6.25%, p=.5) -> RandomBrightnessContrast(
+      brightness (0.1,0.3), contrast (0.1,0.3), p=.2) -> OneOf[RGBShift(+-10)
+      | HueSaturationValue(20/30/20)](p=1) -> ImageCompression(85-95, p=.2)
+      -> ChannelShuffle(p=.1) -> OneOf[Blur(3) | MedianBlur(3)](p=.1)
+
+    cv2-based on uint8 RGB before normalization; same op semantics as
+    albumentations (brightness_by_max beta*255, hue add mod 180, box shift
+    with min_visibility=0 drop)."""
+
+    def __init__(self, seed: int = 0):
         self.rng = random.Random(seed)
 
     def __call__(self, sample: Dict) -> Dict:
+        r = self.rng
+        if r.random() < 0.5:  # ShiftScaleRotate, shift_limit=0.0625
+            sample = shift_image(
+                sample, r.uniform(-0.0625, 0.0625), r.uniform(-0.0625, 0.0625)
+            )
         img = sample["image"]
         assert img.dtype == np.uint8, "apply color augs before normalize()"
-        r = self.rng
-        if r.random() < self.p:  # brightness/contrast
-            alpha = 1.0 + r.uniform(-0.25, 0.25)
-            beta = r.uniform(-32, 32)
-            img = cv2.convertScaleAbs(img, alpha=alpha, beta=beta)
-        if r.random() < self.p:  # hue/saturation/value
+        if r.random() < 0.2:  # RandomBrightnessContrast((0.1,0.3), (0.1,0.3))
+            alpha = 1.0 + r.uniform(0.1, 0.3)
+            beta = r.uniform(0.1, 0.3) * 255.0  # brightness_by_max=True
+            img = np.clip(img.astype(np.float32) * alpha + beta, 0, 255
+                          ).astype(np.uint8)
+        if r.random() < 0.5:  # OneOf(p=1): RGBShift
+            shifts = np.asarray([r.randint(-10, 10) for _ in range(3)])
+            img = np.clip(img.astype(np.int32) + shifts, 0, 255).astype(np.uint8)
+        else:  # OneOf(p=1): HueSaturationValue
             hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int32)
-            hsv[..., 0] = (hsv[..., 0] + r.randint(-15, 15)) % 180
-            hsv[..., 1] = np.clip(hsv[..., 1] + r.randint(-25, 25), 0, 255)
-            hsv[..., 2] = np.clip(hsv[..., 2] + r.randint(-25, 25), 0, 255)
+            hsv[..., 0] = (hsv[..., 0] + r.randint(-20, 20)) % 180
+            hsv[..., 1] = np.clip(hsv[..., 1] + r.randint(-30, 30), 0, 255)
+            hsv[..., 2] = np.clip(hsv[..., 2] + r.randint(-20, 20), 0, 255)
             img = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
-        if r.random() < 0.2:  # blur
-            k = r.choice((3, 5))
-            img = cv2.GaussianBlur(img, (k, k), 0)
-        if r.random() < 0.2:  # jpeg compression artifacts
-            q = r.randint(50, 95)
+        if r.random() < 0.2:  # ImageCompression(quality 85-95)
+            q = r.randint(85, 95)
             _, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
-            img = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+            img = cv2.cvtColor(cv2.imdecode(enc, cv2.IMREAD_COLOR),
+                               cv2.COLOR_BGR2RGB)
+        if r.random() < 0.1:  # ChannelShuffle
+            perm = [0, 1, 2]
+            r.shuffle(perm)
+            img = img[..., perm]
+        if r.random() < 0.1:  # OneOf: Blur(3) | MedianBlur(3)
+            img = (cv2.blur(img, (3, 3)) if r.random() < 0.5
+                   else cv2.medianBlur(img, 3))
         return {**sample, "image": img}
 
 
 class StrongAlbumPreset:
-    """strong_album equivalent: color augs + the detr geometric preset."""
+    """``strong_album`` preset, op-for-op (presets.py:96-159): hflip ->
+    RandomChoice(resize | resize+crop+resize) -> albumentations block ->
+    hflip -> VERTICAL flip. (The 1200_2000 variant at presets.py:165-230 is
+    the same pipeline with larger scales.)"""
 
-    def __init__(self, seed: int = 0, **detr_kwargs):
-        self.color = ColorAugmentations(seed=seed)
-        self.detr = DetrPreset(seed=seed, **detr_kwargs)
+    def __init__(
+        self,
+        scales: Sequence[int] = DETR_SCALES,
+        max_size: int = 1333,
+        crop_scales: Sequence[int] = (400, 500, 600),
+        crop_range=(384, 600),
+        seed: int = 0,
+    ):
+        self.scales = list(scales)
+        self.max_size = max_size
+        self.crop_scales = list(crop_scales)
+        self.crop_range = crop_range
+        self.rng = random.Random(seed)
+        self.color = ColorAugmentations(seed=seed + 1)
 
     def __call__(self, sample: Dict) -> Dict:
-        return self.detr(self.color(sample))
+        rng = self.rng
+        if rng.random() < 0.5:
+            sample = hflip(sample)
+        if rng.random() < 0.5:
+            sample = resize_shortest(
+                sample, rng.choice(self.scales), self.max_size, antialias=True
+            )
+        else:
+            sample = resize_shortest(
+                sample, rng.choice(self.crop_scales), None, antialias=True
+            )
+            sample = random_size_crop(sample, *self.crop_range, rng)
+            sample = resize_shortest(
+                sample, rng.choice(self.scales), self.max_size, antialias=True
+            )
+        sample = self.color(sample)
+        if rng.random() < 0.5:
+            sample = hflip(sample)
+        if rng.random() < 0.5:
+            sample = vflip(sample)
+        return sample
 
 
 def photometric_distort(sample: Dict, rng: random.Random, p: float = 0.5) -> Dict:

@@ -58,16 +58,27 @@ class CocoEvaluator:
         for ann in coco["annotations"]:
             self.gts[(ann["image_id"], ann["category_id"])].append(ann)
         self.dets = defaultdict(list)
+        # (img_id, cat_id) -> _evaluate_img result, filled eagerly by
+        # update_from_arrays so the ~ms-per-pair greedy matching overlaps the
+        # device forward in the pipelined eval stream (utils/evaluation.py)
+        # instead of serializing into accumulate at the end.
+        self._match_cache: Dict = {}
+        self._img_cats_with_gts = defaultdict(set)
+        for img_id, cat_id in self.gts:
+            self._img_cats_with_gts[img_id].add(cat_id)
 
     def update(self, predictions: Sequence[Dict]):
         """predictions: iterable of dicts with image_id, category_id,
         bbox (xywh), score."""
         for p in predictions:
             self.dets[(p["image_id"], p["category_id"])].append(p)
+            self._match_cache.pop((p["image_id"], p["category_id"]), None)
 
     def update_from_arrays(self, image_id: int, boxes_xyxy, scores, labels):
+        cats = set()
         for box, score, label in zip(boxes_xyxy, scores, labels):
             x0, y0, x1, y1 = [float(v) for v in box]
+            cats.add(int(label))
             self.dets[(image_id, int(label))].append(
                 {
                     "image_id": image_id,
@@ -76,6 +87,11 @@ class CocoEvaluator:
                     "score": float(score),
                 }
             )
+        for cat_id in cats | self._img_cats_with_gts.get(image_id, set()):
+            if cat_id in self.cat_ids:
+                self._match_cache[(image_id, cat_id)] = self._evaluate_img(
+                    image_id, cat_id
+                )
 
     def _evaluate_img(self, img_id, cat_id):
         """One pass per (image, category): IoU computed once, greedy matching
@@ -118,27 +134,23 @@ class CocoEvaluator:
             det_match = np.full((num_thr, num_det), -1, np.int64)
             det_ignore = np.zeros((num_thr, num_det), bool)
             trange = np.arange(num_thr)
+            # non-ignored gts get a +2 score bonus: any candidate real gt
+            # outranks every ignored one (iou <= 1), which collapses the
+            # reference's two matching phases into one argmax; ties still go
+            # to the LAST scanned gt within a phase (reversed argmax on the
+            # ignore-last ordering).
+            bonus = 2.0 * (~gi)[None, :]
             for d in range(num_det if num_gt else 0):
                 iou_d = ious[d]
                 # a used non-crowd gt is unavailable; crowd gts stay matchable
-                avail = (gt_match < 0) | gc[None, :]
-                cand = avail & (iou_d[None] >= thr_col)
-                # phase 1: non-ignored gts; phase 2 (only if none): ignored.
-                # ties go to the LAST scanned gt within a phase (the reference
-                # greedy updates on iou >= current best).
-                m = np.full(num_thr, -1, np.int64)
-                for lo, hi in ((0, n_real), (n_real, num_gt)):
-                    if hi == lo:
-                        continue
-                    seg = np.where(cand[:, lo:hi], iou_d[None, lo:hi], -np.inf)
-                    rev = seg[:, ::-1]
-                    idx = (hi - lo - 1) - np.argmax(rev, axis=1) + lo
-                    has = cand[:, lo:hi].any(axis=1) & (m < 0)
-                    m = np.where(has, idx, m)
-                hit = m >= 0
-                det_match[hit, d] = m[hit]
-                det_ignore[hit, d] = gi[m[hit]]
-                gt_match[trange[hit], m[hit]] = d
+                cand = ((gt_match < 0) | gc[None, :]) & (iou_d[None] >= thr_col)
+                score = np.where(cand, iou_d[None] + bonus, -np.inf)
+                idx = (num_gt - 1) - np.argmax(score[:, ::-1], axis=1)
+                hit = cand.any(axis=1)
+                m = idx[hit]
+                det_match[hit, d] = m
+                det_ignore[hit, d] = gi[m]
+                gt_match[trange[hit], m] = d
             det_oor = (det_area < area_rng[0]) | (det_area > area_rng[1])
             det_ignore = det_ignore | ((det_match == -1) & det_oor[None])
             out["by_area"][aname] = {
@@ -157,12 +169,19 @@ class CocoEvaluator:
         recall = -np.ones((num_thr, len(self.cat_ids), len(AREA_RANGES), len(MAX_DETS)))
 
         for ci, cat_id in enumerate(self.cat_ids):
-            # one matching pass per (image, category); maxDet variants are
-            # prefix slices of the per-image score-ordered detections
-            results = [
-                r for img_id in self.img_ids
-                if (r := self._evaluate_img(img_id, cat_id)) is not None
-            ]
+            # one matching pass per (image, category) — served from the
+            # update-time cache when available (matching then overlapped the
+            # device stream); maxDet variants are prefix slices of the
+            # per-image score-ordered detections
+            results = []
+            for img_id in self.img_ids:
+                key = (img_id, cat_id)
+                if key in self._match_cache:
+                    r = self._match_cache[key]
+                else:
+                    r = self._evaluate_img(img_id, cat_id)
+                if r is not None:
+                    results.append(r)
             if not results:
                 continue
             for ai, aname in enumerate(AREA_RANGES):

@@ -29,6 +29,75 @@ def make_eval_fwd(model, batch_size: int):
     return jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
 
 
+def make_detections_fn(model, batch_size: int, topk: int):
+    """Forward + top-k decode + packing, as ONE jitted dispatch returning a
+    single (B, topk, 6) [x0 y0 x1 y1 score label] device array.
+
+    One dispatch/one fetch matters doubly here: every blocking fetch pays the
+    axon relay round trip (~37 ms, PERF.md), and a packed result lets the
+    caller overlap the next batch's device work with this batch's host-side
+    COCO accumulation (see `detection_stream`)."""
+
+    def det_fn(variables, images, mask, orig_sizes):
+        if images.dtype == jnp.uint8:
+            # device-side normalization (EvalPreset(normalize_host=False)):
+            # identical math to transforms.normalize, with padding forced to
+            # exact 0 in normalized space (the host path pads after
+            # normalizing, matching the reference's NestedTensor zeros)
+            from relation_detr_tpu.data.transforms import (
+                IMAGENET_MEAN,
+                IMAGENET_STD,
+            )
+
+            x = (images.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+            images = jnp.where(mask[..., None], 0.0, x)
+        out = model.apply(variables, images, mask, train=False)
+        det = post_process(
+            out["pred_logits"], out["pred_boxes"], orig_sizes, topk
+        )
+        return jnp.concatenate(
+            [det["boxes"], det["scores"][..., None],
+             det["labels"].astype(jnp.float32)[..., None]], axis=-1,
+        )
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and batch_size % n_dev == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from relation_detr_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(det_fn, in_shardings=(repl, data, data, data),
+                       out_shardings=data)
+    return jax.jit(det_fn)
+
+
+def detection_stream(det_fn, variables, loader, progress=None):
+    """Software-pipelined eval: dispatch batch k+1 BEFORE fetching batch k so
+    the device computes while the host runs COCO accumulation (the reference
+    overlaps via CUDA streams in its DataPrefetcher, util/misc.py; here the
+    async dispatch queue plays that role).
+
+    Yields (batch, detections) with detections a host (B, topk, 6) array.
+    """
+    it = iter(progress(loader) if progress is not None else loader)
+    pending = None
+    for batch in it:
+        dev = det_fn(
+            variables,
+            jnp.asarray(batch["images"]),
+            jnp.asarray(batch["mask"]),
+            jnp.asarray(batch["orig_sizes"], jnp.float32),
+        )
+        if pending is not None:
+            yield pending[0], np.asarray(pending[1])
+        pending = (batch, dev)
+    if pending is not None:
+        yield pending[0], np.asarray(pending[1])
+
+
 def evaluate_model(
     model,
     variables,
@@ -40,22 +109,35 @@ def evaluate_model(
     verbose: bool = True,
 ) -> Dict[str, float]:
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False)
-    if fwd is None:
-        fwd = make_eval_fwd(model, batch_size)
+    if fwd is not None:
+        # caller-supplied raw forward (tests): unpipelined fallback
+        evaluator = CocoEvaluator(ann_file)
+        for batch in loader:
+            out = fwd(variables, jnp.asarray(batch["images"]),
+                      jnp.asarray(batch["mask"]))
+            det = post_process(
+                out["pred_logits"], out["pred_boxes"],
+                jnp.asarray(batch["orig_sizes"], jnp.float32), topk,
+            )
+            boxes = np.asarray(det["boxes"])
+            scores = np.asarray(det["scores"])
+            labels = np.asarray(det["labels"])
+            for i in range(len(boxes)):
+                if batch["image_ids"][i] < 0:
+                    continue
+                evaluator.update_from_arrays(
+                    int(batch["image_ids"][i]), boxes[i], scores[i], labels[i]
+                )
+        return evaluator.accumulate_and_summarize(verbose=verbose)
+
+    det_fn = make_detections_fn(model, batch_size, topk)
     evaluator = CocoEvaluator(ann_file)
-    for batch in loader:
-        out = fwd(variables, jnp.asarray(batch["images"]), jnp.asarray(batch["mask"]))
-        det = post_process(
-            out["pred_logits"], out["pred_boxes"],
-            jnp.asarray(batch["orig_sizes"], jnp.float32), topk,
-        )
-        boxes = np.asarray(det["boxes"])
-        scores = np.asarray(det["scores"])
-        labels = np.asarray(det["labels"])
-        for i in range(len(boxes)):
+    for batch, det in detection_stream(det_fn, variables, loader):
+        for i in range(len(det)):
             if batch["image_ids"][i] < 0:
                 continue
             evaluator.update_from_arrays(
-                int(batch["image_ids"][i]), boxes[i], scores[i], labels[i]
+                int(batch["image_ids"][i]), det[i, :, :4], det[i, :, 4],
+                det[i, :, 5].astype(np.int64),
             )
     return evaluator.accumulate_and_summarize(verbose=verbose)

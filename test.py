@@ -18,7 +18,6 @@ import numpy as np
 from relation_detr_tpu.data.coco import CocoDetection
 from relation_detr_tpu.data.loader import DataLoader
 from relation_detr_tpu.data.transforms import EvalPreset
-from relation_detr_tpu.models.post_process import post_process
 from relation_detr_tpu.utils.checkpoint import load_weights
 from relation_detr_tpu.utils.coco_eval import CocoEvaluator
 from relation_detr_tpu.utils.config import Config
@@ -113,7 +112,8 @@ def main():
         img_folder=os.path.join(args.coco_path, args.split),
         ann_file=ann_file,
         transforms=EvalPreset(model_cfg.get("min_size", 800),
-                              model_cfg.get("max_size", 1333)),
+                              model_cfg.get("max_size", 1333),
+                              normalize_host=False),  # uint8 upload, 4x less
     )
     if args.max_images:
         dataset.ids = dataset.ids[: args.max_images]
@@ -138,27 +138,30 @@ def main():
     if args.checkpoint:
         variables = load_weights(args.checkpoint, dict(variables))
 
-    from relation_detr_tpu.utils.evaluation import make_eval_fwd
+    from relation_detr_tpu.utils.evaluation import (
+        detection_stream,
+        make_detections_fn,
+    )
 
-    fwd = make_eval_fwd(model, args.batch_size)  # all chips when batch divides
+    # one jitted dispatch per batch: forward + top-k decode + packed result
+    # (model boxes are normalized to the VALID image region — valid-ratio
+    # convention of base_transformer.py:56-70 — so PostProcess scales by the
+    # original size directly, post_process.py:40-43). The stream dispatches
+    # batch k+1 before fetching batch k, overlapping device compute with the
+    # host-side COCO accumulation (all chips used when batch divides them).
     topk = model_cfg.get("select_box_nums_for_evaluation", 300)
+    det_fn = make_detections_fn(model, args.batch_size, topk)
 
     evaluator = CocoEvaluator(ann_file)
     metric = MetricLogger(print_freq=50, logger=logger)
     all_predictions = []
-    for batch in metric.log_every(loader, "eval"):
-        out = fwd(variables, jnp.asarray(batch["images"]), jnp.asarray(batch["mask"]))
-        # model boxes are normalized to the VALID image region (coordinate 1.0
-        # = image edge, not canvas edge — valid-ratio convention of
-        # base_transformer.py:56-70), so scaling by the original size decodes
-        # directly (PostProcess semantics, post_process.py:40-43).
-        det = post_process(
-            out["pred_logits"], out["pred_boxes"],
-            jnp.asarray(batch["orig_sizes"], jnp.float32), topk,
-        )
-        boxes = np.asarray(det["boxes"])
-        scores = np.asarray(det["scores"])
-        labels = np.asarray(det["labels"])
+    for batch, det in detection_stream(
+        det_fn, variables, loader,
+        progress=lambda it: metric.log_every(it, "eval"),
+    ):
+        boxes = det[:, :, :4]
+        scores = det[:, :, 4]
+        labels = det[:, :, 5].astype(np.int64)
         for i in range(len(boxes)):
             if batch["image_ids"][i] < 0:
                 continue  # tail padding

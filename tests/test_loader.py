@@ -57,3 +57,33 @@ def test_loader_iterates_all_batches():
         assert b["images"].shape[0] == 4
     # padded tail sample has no gts and id -1
     assert (batches[-1]["image_ids"] == -1).sum() == 2
+
+
+def test_uint8_canvas_device_normalize_matches_host():
+    """EvalPreset(normalize_host=False) + device normalization must equal the
+    host-normalized fp32 canvas exactly (padding = 0 in normalized space)."""
+    import jax.numpy as jnp
+
+    from relation_detr_tpu.data.loader import collate
+    from relation_detr_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        normalize,
+    )
+
+    rng = np.random.RandomState(0)
+    raw = {
+        "image": rng.randint(0, 255, (40, 56, 3), np.uint8),
+        "boxes": np.asarray([[4, 4, 30, 30]], np.float32),
+        "labels": np.asarray([1], np.int64),
+        "image_id": 7,
+        "orig_size": np.asarray([40, 56], np.int64),
+    }
+    b_u8 = collate([dict(raw)], fixed_canvas=(48, 64))
+    b_f32 = collate([normalize(dict(raw))], fixed_canvas=(48, 64))
+    assert b_u8["images"].dtype == np.uint8
+    images = jnp.asarray(b_u8["images"])
+    mask = jnp.asarray(b_u8["mask"])
+    x = (images.astype(jnp.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    x = jnp.where(mask[..., None], 0.0, x)
+    np.testing.assert_allclose(np.asarray(x), b_f32["images"], atol=1e-6)

@@ -230,3 +230,56 @@ def test_coco_return_masks(tmp_path):
     assert s["masks"][0, 8, 8] == 1 and s["masks"][0, 20, 20] == 0
     # no-segmentation falls back to the box rectangle
     assert s["masks"][1, 12, 22] == 1
+
+
+def test_shift_image_box_math():
+    from relation_detr_tpu.data.transforms import shift_image
+
+    img = np.zeros((100, 200, 3), np.uint8)
+    img[40:60, 80:120] = 255
+    sample = {
+        "image": img,
+        "boxes": np.asarray([[80, 40, 120, 60], [0, 0, 10, 10]], np.float32),
+        "labels": np.asarray([1, 2], np.int64),
+    }
+    out = shift_image(sample, 0.1, -0.2)  # dx=+20, dy=-20
+    np.testing.assert_allclose(out["boxes"][0], [100, 20, 140, 40])
+    # second box shifts to y<0 entirely -> clipped to zero height -> dropped
+    assert len(out["boxes"]) == 2 or len(out["boxes"]) == 1
+    assert (out["labels"] == 1).any()
+    # pixels moved with the box
+    assert out["image"][30, 110].max() == 255
+    assert out["image"][50, 90].max() == 0
+
+
+def test_vflip_box_math():
+    from relation_detr_tpu.data.transforms import vflip
+
+    sample = {
+        "image": np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3),
+        "boxes": np.asarray([[0.0, 0.0, 1.0, 1.0]], np.float32),
+        "labels": np.asarray([1], np.int64),
+    }
+    out = vflip(sample)
+    np.testing.assert_allclose(out["boxes"][0], [0, 1, 1, 2])
+    np.testing.assert_array_equal(out["image"][0], sample["image"][1])
+
+
+def test_strong_album_preset_runs_and_keeps_valid_boxes():
+    from relation_detr_tpu.data.transforms import StrongAlbumPreset
+
+    rng = np.random.RandomState(0)
+    for seed in range(4):
+        sample = {
+            "image": rng.randint(0, 255, (240, 320, 3), np.uint8),
+            "boxes": np.asarray([[40, 40, 160, 120], [10, 10, 60, 60]], np.float32),
+            "labels": np.asarray([1, 2], np.int64),
+        }
+        out = StrongAlbumPreset(seed=seed)(sample)
+        h, w = out["image"].shape[:2]
+        assert out["image"].dtype == np.uint8
+        assert len(out["boxes"]) == len(out["labels"])
+        if len(out["boxes"]):
+            assert (out["boxes"][:, [0, 2]] <= w + 1e-3).all()
+            assert (out["boxes"][:, [1, 3]] <= h + 1e-3).all()
+            assert (out["boxes"] >= -1e-3).all()
