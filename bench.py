@@ -83,6 +83,25 @@ def main():
             "img_per_s": batch / per_iter,
         }
 
+    # fast profile: tiled halos (4,3,2,2) — border-clamps far-out sampling
+    # offsets (PERF.md halo study), so it is NOT the default and NOT the
+    # headline number; reported for visibility.
+    from relation_detr_tpu.ops.msda import msda_defaults
+
+    with msda_defaults(tiled_halos=(4, 3, 2, 2)):
+        fwd_fast = jax.jit(
+            lambda v, x, m: jnp.sum(model.apply(v, x, m, train=False)["pred_logits"])
+        )
+        float(fwd_fast(variables, images1, mask1))
+        float(fwd_fast(variables, images1, mask1))
+        K = 20
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(K):
+            out = fwd_fast(variables, images1, mask1)
+        float(out)
+        fast_b1 = 1.0 / ((time.perf_counter() - t0) / K)
+
     best = max(results.values(), key=lambda r: r["img_per_s"])
     payload = {
         "metric": "images_per_sec_per_chip",
@@ -95,7 +114,10 @@ def main():
         ),
         "per_batch": {str(k): {kk: round(vv, 4) for kk, vv in v.items()}
                       for k, v in results.items()},
-        "model": "relation_detr_resnet50_800_1333 (eval forward, tiled-MXU msda)",
+        "fast_profile_b1_img_per_s": round(fast_b1, 3),
+        "model": "relation_detr_resnet50_800_1333 (eval forward, tiled-MXU "
+                 "msda; default halos exact at init, fast profile = "
+                 "--msda-halos 4,3,2,2)",
     }
     print(json.dumps(payload))
 

@@ -43,13 +43,16 @@ _MSDA_DEFAULTS = {
     "gather_dtype": jnp.float32,
     # tiled-kernel tunables: dtype of the A-matrix/patch einsum operands
     # (fp32 = exact; bf16 measured slower — see PERF.md), and the per-level
-    # halo radii that bound the exact-sampling region. (4,3,2,2) is the
-    # measured sweet spot (93.5 -> 69.6 ms on the flagship vs (8,6,4,3));
-    # offsets beyond the halo border-clamp (use tiled_clamp_fraction to
-    # check a trained checkpoint, and set_msda_defaults / --msda-halos to
-    # widen when the clamped fraction is non-negligible).
+    # halo radii that bound the exact-sampling region. "auto" = num_points+1
+    # per level, which provably covers the reference's radial offset init
+    # (radius <= num_points level-texels, ms_deform_attn.py:266-278 —
+    # measured zero clamped corners at worst-case radius-4 offsets; PERF.md).
+    # Offsets beyond the halo border-clamp: use tiled_clamp_fraction to
+    # check a trained checkpoint and --msda-halos to tune ((4,3,2,2) is the
+    # measured fast profile at ~20 ms less per image, 20% worst-case
+    # clamping).
     "tiled_dtype": jnp.float32,
-    "tiled_halos": (4, 3, 2, 2),
+    "tiled_halos": "auto",
     "tiled_tile_tokens": (10, 8),
     "tiled_margin": 2,
     # corner_pack levels with <= this many rows use a one-hot MXU matmul
@@ -72,7 +75,9 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
     if tiled_dtype is not None:
         _MSDA_DEFAULTS["tiled_dtype"] = tiled_dtype
     if tiled_halos is not None:
-        _MSDA_DEFAULTS["tiled_halos"] = tuple(tiled_halos)
+        _MSDA_DEFAULTS["tiled_halos"] = (
+            "auto" if tiled_halos == "auto" else tuple(tiled_halos)
+        )
     if tiled_tile_tokens is not None:
         _MSDA_DEFAULTS["tiled_tile_tokens"] = tuple(tiled_tile_tokens)
     if tiled_margin is not None:
@@ -90,7 +95,8 @@ def apply_msda_cli_flags(args) -> None:
         set_msda_defaults(impl=args.msda_impl)
     if getattr(args, "msda_halos", None):
         set_msda_defaults(
-            tiled_halos=tuple(int(v) for v in args.msda_halos.split(","))
+            tiled_halos="auto" if args.msda_halos == "auto"
+            else tuple(int(v) for v in args.msda_halos.split(","))
         )
 
 
@@ -358,6 +364,8 @@ def _msda_tiled(
 
     if halos is None:
         halos = _MSDA_DEFAULTS["tiled_halos"]
+    if halos == "auto":  # exact at the radial offset init (radius <= P)
+        halos = (num_points + 1,) * num_levels
     if tile_tokens is None:
         tile_tokens = _MSDA_DEFAULTS["tiled_tile_tokens"]
     tiled_dtype = _MSDA_DEFAULTS["tiled_dtype"]
@@ -538,6 +546,8 @@ def tiled_clamp_fraction(
     """
     if halos is None:
         halos = _MSDA_DEFAULTS["tiled_halos"]
+    if halos == "auto":
+        halos = (sampling_locations.shape[-2] + 1,) * len(spatial_shapes)
     if tile_tokens is None:
         tile_tokens = _MSDA_DEFAULTS["tiled_tile_tokens"]
     if margin is None:

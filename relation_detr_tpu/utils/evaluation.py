@@ -83,17 +83,29 @@ def detection_stream(det_fn, variables, loader, progress=None):
     Yields (batch, detections) with detections a host (B, topk, 6) array.
     """
     it = iter(progress(loader) if progress is not None else loader)
-    pending = None
-    for batch in it:
-        dev = det_fn(
-            variables,
+
+    def upload(batch):  # async device_put: starts the transfer immediately
+        return (
             jnp.asarray(batch["images"]),
             jnp.asarray(batch["mask"]),
             jnp.asarray(batch["orig_sizes"], jnp.float32),
         )
+
+    pending = None  # (batch, detections on device)
+    staged = None  # (batch, uploaded inputs)
+    for batch in it:
+        up = upload(batch)  # stage k+1's transfer behind k's compute
+        if staged is not None:
+            dev = det_fn(variables, *staged[1])
+            if pending is not None:
+                yield pending[0], np.asarray(pending[1])
+            pending = (staged[0], dev)
+        staged = (batch, up)
+    if staged is not None:
+        dev = det_fn(variables, *staged[1])
         if pending is not None:
             yield pending[0], np.asarray(pending[1])
-        pending = (batch, dev)
+        pending = (staged[0], dev)
     if pending is not None:
         yield pending[0], np.asarray(pending[1])
 
