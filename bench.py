@@ -30,6 +30,9 @@ A100_PROXY_IMG_PER_SEC = 22.0
 def main():
     from __graft_entry__ import _flagship, _init_variables
     from relation_detr_tpu.ops.msda import set_msda_defaults
+    from relation_detr_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
 
     # auto = tiled one-hot-matmul MSDA in the encoder (MXU path),
     # corner-packed gather in the decoder (PERF.md ladder)

@@ -36,6 +36,9 @@ def parse_args():
 
 
 def main():
+    from relation_detr_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     logger = setup_logger()
     model_cfg = Config(args.model_config)

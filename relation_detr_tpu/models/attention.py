@@ -15,7 +15,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from relation_detr_tpu.models.layers import xavier_uniform, zeros_init
-from relation_detr_tpu.ops.msda import multi_scale_deformable_attention
+from relation_detr_tpu.ops.msda import (
+    msda_prepacked,
+    multi_scale_deformable_attention,
+    project_corner_pack_tables,
+)
 
 
 class MultiheadAttention(nn.Module):
@@ -68,6 +72,23 @@ class MultiheadAttention(nn.Module):
         )(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares {kernel, bias} with nn.Dense's names/shapes/inits without
+    applying them — lets a caller reuse the same parameters in a different
+    (mathematically identical) contraction, e.g. the decoder prepack path."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", xavier_uniform, (self.in_features, self.features)
+        )
+        bias = self.param("bias", zeros_init, (self.features,))
+        return kernel, bias
+
+
 def _sampling_offsets_bias_init(num_heads: int, num_levels: int, num_points: int):
     """Per-head radial offset bias.
 
@@ -114,19 +135,30 @@ class MultiScaleDeformableAttention(nn.Module):
         value: jnp.ndarray,  # (B, S, C)
         spatial_shapes: Sequence[Tuple[int, int]],  # static
         key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
+        packed_tables=None,  # corner_pack_raw_tables(value) — decoder prepack
     ) -> jnp.ndarray:
         bs, num_queries, _ = query.shape
         num_value = value.shape[1]
         head_dim = self.embed_dim // self.num_heads
         h, l, p = self.num_heads, self.num_levels, self.num_points
 
-        value = nn.Dense(
-            self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init,
-            dtype=self.dtype, name="value_proj",
-        )(value)
-        if key_padding_mask is not None:
-            value = jnp.where(key_padding_mask[..., None], 0.0, value)
-        value = value.reshape(bs, num_value, h, head_dim)
+        # value_proj params declared explicitly (same names/shapes/init as
+        # the nn.Dense they replace, so checkpoints and the torch converter
+        # are unaffected): the prepack path consumes them in a block-diagonal
+        # einsum over the shared raw corner tables instead of projecting the
+        # raw memory per layer (ops/msda.py::project_corner_pack_tables).
+        vp_kernel, vp_bias = _DenseParams(
+            self.embed_dim, self.embed_dim, name="value_proj"
+        )()
+        if packed_tables is None:
+            compute = (self.dtype or jnp.float32)
+            value = (
+                value.astype(compute) @ vp_kernel.astype(compute)
+                + vp_bias.astype(compute)
+            )
+            if key_padding_mask is not None:
+                value = jnp.where(key_padding_mask[..., None], 0.0, value)
+            value = value.reshape(bs, num_value, h, head_dim)
 
         sampling_offsets = nn.Dense(
             h * l * p * 2,
@@ -162,9 +194,19 @@ class MultiScaleDeformableAttention(nn.Module):
                 f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}"
             )
 
-        output = multi_scale_deformable_attention(
-            value, tuple(spatial_shapes), sampling_locations, attention_weights
-        )
+        if packed_tables is not None:
+            proj_tables = project_corner_pack_tables(
+                packed_tables, vp_kernel, vp_bias, h
+            )
+            output = msda_prepacked(
+                proj_tables, tuple(spatial_shapes), sampling_locations,
+                attention_weights,
+            ).astype(query.dtype)
+        else:
+            output = multi_scale_deformable_attention(
+                value, tuple(spatial_shapes), sampling_locations,
+                attention_weights,
+            )
         return nn.Dense(
             self.embed_dim, kernel_init=xavier_uniform, bias_init=zeros_init,
             dtype=self.dtype, name="output_proj",

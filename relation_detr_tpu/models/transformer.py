@@ -156,6 +156,7 @@ class TransformerDecoderLayer(nn.Module):
         key_padding_mask,
         self_attn_bias: Optional[jnp.ndarray],
         deterministic: bool = True,
+        packed_tables=None,  # shared raw corner-pack tables (decoder prepack)
     ):
         drop = lambda x: nn.Dropout(self.dropout)(x, deterministic=deterministic) \
             if self.dropout > 0 else x
@@ -175,6 +176,7 @@ class TransformerDecoderLayer(nn.Module):
             value=value,
             spatial_shapes=spatial_shapes,
             key_padding_mask=key_padding_mask,
+            packed_tables=packed_tables,
         )
         query = nn.LayerNorm(name="norm1")(query + drop(cross))
 
@@ -216,6 +218,7 @@ class RelationTransformerDecoder(nn.Module):
         attn_bias: Optional[jnp.ndarray] = None,  # (B|1, 1, Q, Q) CDN bias, -inf blocked
         skip_relation: bool = False,
         deterministic: bool = True,
+        packed_tables=None,  # prepacked raw corner tables (shared across layers)
     ):
         ref_point_head = MLP(self.embed_dim, self.embed_dim, 2, name="ref_point_head")
         query_scale = MLP(self.embed_dim, self.embed_dim, 2, name="query_scale")
@@ -264,6 +267,7 @@ class RelationTransformerDecoder(nn.Module):
                 key_padding_mask,
                 pos_relation,
                 deterministic,
+                packed_tables,
             )
 
             normed = norm(query)
@@ -532,6 +536,18 @@ class RelationTransformer(nn.Module):
                 [nn.sigmoid(noised_box_query), reference], axis=1
             )
 
+        # decoder prepack: the 4-corner pack of the raw memory is built ONCE
+        # and shared by every decoder layer of both passes; each layer then
+        # applies its own value_proj as a block-diagonal MXU einsum
+        # (ops/msda.py::corner_pack_raw_tables — exact, pack & proj commute)
+        from relation_detr_tpu.ops import msda as msda_ops
+
+        packed_tables = None
+        if msda_ops.decoder_prepack_enabled():
+            packed_tables = msda_ops.corner_pack_raw_tables(
+                memory, tuple(spatial_shapes), mask_flatten
+            )
+
         outputs_classes, outputs_coords = self.decoder(
             query=target,
             reference_points=reference,
@@ -541,6 +557,7 @@ class RelationTransformer(nn.Module):
             key_padding_mask=mask_flatten,
             attn_bias=attn_bias,
             deterministic=not train,
+            packed_tables=packed_tables,
         )
 
         if train and self.hybrid_num_proposals > 0:
@@ -554,6 +571,7 @@ class RelationTransformer(nn.Module):
                 attn_bias=None,
                 skip_relation=True,
                 deterministic=not train,
+                packed_tables=packed_tables,
             )
         else:
             hybrid_classes = hybrid_coords = None

@@ -23,7 +23,7 @@ TPU-first design notes:
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,17 @@ _MSDA_DEFAULTS = {
     # corner_pack levels with <= this many rows use a one-hot MXU matmul
     # instead of a row gather (exact; beats the issue-bound gather there)
     "dense_level_rows": 1536,
+    # decoder prepack: build the 4-corner pack of the RAW memory once per
+    # forward and give every decoder layer its projected table via one MXU
+    # einsum (pack(proj(V)) == blockdiag-proj(pack(V)) by linearity) instead
+    # of re-running the HBM-bound 4-roll pack per layer
+    "decoder_prepack": True,
+    # tiled-kernel overflow residual: corners beyond the halo are computed
+    # EXACTLY via a fixed-capacity side channel (up to this many out-of-halo
+    # corners per (tile, head, level); beyond it they fall back to the border
+    # clamp, never worse than before). "auto" = 0 when halos are "auto"
+    # (provably nothing to catch at the offset init) else 8.
+    "tiled_overflow": "auto",
     # tiled prep layout: "t_minor" transposes T to the minor dim;
     # "t_major" keeps the take's natural order with no transposes
     "tiled_layout": "t_minor",
@@ -67,7 +78,9 @@ _MSDA_DEFAULTS = {
 def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_halos=None, tiled_tile_tokens=None,
                       tiled_margin=None, dense_level_rows=None,
-                      tiled_layout=None):
+                      tiled_layout=None, decoder_prepack=None):
+    if decoder_prepack is not None:
+        _MSDA_DEFAULTS["decoder_prepack"] = bool(decoder_prepack)
     if impl is not None:
         _MSDA_DEFAULTS["impl"] = impl
     if gather_dtype is not None:
@@ -103,11 +116,12 @@ def apply_msda_cli_flags(args) -> None:
 @contextlib.contextmanager
 def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
-                  dense_level_rows=None, tiled_layout=None):
+                  dense_level_rows=None, tiled_layout=None,
+                  decoder_prepack=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
-                      tiled_layout)
+                      tiled_layout, decoder_prepack)
     try:
         yield
     finally:
@@ -721,6 +735,183 @@ def _msda_corner_pack(
         out = out + jnp.transpose(contrib, (0, 2, 1, 3))
 
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
+
+
+def decoder_prepack_enabled() -> bool:
+    """True when the decoder corner-pack route should hoist the pack.
+
+    Prepacking helps exactly when the corner-packed gather is in play (the
+    decoder layout under "auto"/"corner_pack"); other impls read raw values.
+    """
+    return bool(_MSDA_DEFAULTS["decoder_prepack"]) and _MSDA_DEFAULTS[
+        "impl"
+    ] in ("auto", "auto_xla", "auto_pallas", "corner_pack")
+
+
+def corner_pack_raw_tables(
+    value_raw: jnp.ndarray,  # (B, S, C) memory BEFORE value projection
+    spatial_shapes: Sequence[Tuple[int, int]],
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True = pad
+):
+    """Per-level 4-corner pack of the raw decoder memory, built ONCE.
+
+    Every decoder layer samples the same encoder memory through its own
+    ``value_proj``; because both the projection and the corner pack are
+    linear, ``pack(mask(proj_i(V)))`` equals a block-diagonal projection of
+    ``pack(mask_raw(V))`` plus a bias term weighted by the packed validity.
+    Hoisting the pack replaces six HBM-bound 4-roll+concat passes with one,
+    leaving each layer a single MXU einsum (see
+    ``project_corner_pack_tables``). Numerics are unchanged: the reference
+    masks the PROJECTED value (ms_deform_attn.py:334-336), which the validity
+    channel reproduces exactly (masked corners contribute neither value nor
+    bias).
+
+    Returns a tuple per level of ``(vm, mval)`` with ``vm`` (B, hw, 4, C) =
+    masked raw values of the 2x2 corner neighborhood and ``mval`` (B, hw, 4)
+    the per-corner padding validity. Corner slot order matches
+    ``_msda_corner_pack``: (y,x) = 00, 01, 10, 11. Rolled-in rows from the
+    next raster row / level edge are harmless: per-slot weights derived at
+    gather time zero any corner outside the level.
+    """
+    starts, total = _level_start_indices(spatial_shapes)
+    assert value_raw.shape[1] == total
+    valid = (
+        jnp.ones(value_raw.shape[:2], jnp.float32)
+        if key_padding_mask is None
+        else (~key_padding_mask).astype(jnp.float32)
+    )
+    vm_all = value_raw.astype(jnp.float32) * valid[..., None]
+    tables = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = jax.lax.dynamic_slice_in_dim(vm_all, starts[lvl], h * w, axis=1)
+        m = jax.lax.dynamic_slice_in_dim(valid, starts[lvl], h * w, axis=1)
+        shifts = (0, -1, -w, -(w + 1))
+        vm = jnp.stack([jnp.roll(v, s, axis=1) for s in shifts], axis=2)
+        mval = jnp.stack([jnp.roll(m, s, axis=1) for s in shifts], axis=2)
+        tables.append((vm, mval))
+    return tuple(tables)
+
+
+def project_corner_pack_tables(tables, kernel, bias, num_heads: int):
+    """Apply one layer's value projection to the prepacked raw tables.
+
+    kernel (C, C), bias (C,) are the layer's ``value_proj`` parameters.
+    Returns a tuple per level of (B, hw, H, 4*D) tables laid out so one
+    gather row holds all four corners of one head contiguously in the lane
+    dimension (same 128-lane rows as ``_msda_corner_pack``'s packed value).
+    """
+    c_in = kernel.shape[0]
+    head_dim = kernel.shape[1] // num_heads
+    k = kernel.astype(jnp.float32).reshape(c_in, num_heads, head_dim)
+    b = bias.astype(jnp.float32).reshape(num_heads, head_dim)
+    out = []
+    for vm, mval in tables:
+        bsz, hw = vm.shape[:2]
+        t = jnp.einsum(
+            "bsfc,chd->bshfd", vm, k, preferred_element_type=jnp.float32
+        )
+        t = t + b[None, None, :, None, :] * mval[:, :, None, :, None]
+        out.append(t.reshape(bsz, hw, num_heads, 4 * head_dim))
+    return tuple(out)
+
+
+def msda_prepacked(
+    packed_tables,  # tuple per level of (B, hw, H, 4*D)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,  # (B, Q, H, L, P, 2)
+    attention_weights: jnp.ndarray,  # (B, Q, H, L, P)
+) -> jnp.ndarray:
+    """Corner-packed MSDA over prepacked+projected tables.
+
+    Identical numerics to ``_msda_corner_pack`` (same slot-weight
+    re-derivation, so clamped pack starts and out-of-level corners contribute
+    the exact grid_sample zero-padding result); the value projection and
+    padding mask are already folded into the tables.
+    Returns (B, Q, H*D) in fp32.
+    """
+    sampling_locations = sampling_locations.astype(jnp.float32)
+    attention_weights = attention_weights.astype(jnp.float32)
+    bs, num_queries, num_heads = sampling_locations.shape[:3]
+    num_levels, num_points = sampling_locations.shape[3:5]
+    head_dim = packed_tables[0].shape[-1] // 4
+
+    out = jnp.zeros((bs, num_heads, num_queries, head_dim), jnp.float32)
+    head_col = jax.lax.broadcasted_iota(
+        jnp.int32, (1, num_heads, num_queries * num_points), 1
+    )
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        tbl = packed_tables[lvl]  # (B, hw, H, 4D)
+        loc = sampling_locations[:, :, :, lvl]  # (B, Q, H, P, 2)
+        x = loc[..., 0] * w - 0.5
+        y = loc[..., 1] * h - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = x - x0
+        fy = y - y0
+        xc = jnp.clip(x0, 0, max(w - 2, 0))
+        yc = jnp.clip(y0, 0, max(h - 2, 0))
+
+        def axis_slot_weight(s, base, clamped, frac, size):
+            coord = clamped + s
+            w0 = jnp.where(
+                (coord == base) & (base >= 0) & (base < size), 1.0 - frac, 0.0
+            )
+            w1 = jnp.where(
+                (coord == base + 1) & (base + 1 >= 0) & (base + 1 < size),
+                frac, 0.0,
+            )
+            return w0 + w1
+
+        wx = jnp.stack([axis_slot_weight(s, x0, xc, fx, w) for s in (0, 1)], -1)
+        wy = jnp.stack([axis_slot_weight(s, y0, yc, fy, h) for s in (0, 1)], -1)
+        wslot = (wy[..., :, None] * wx[..., None, :]).reshape(
+            bs, num_queries, num_heads, num_points, 4
+        ) * attention_weights[:, :, :, lvl][..., None]
+        # (B, H, Q*P, 4) -> broadcast each slot weight over its D-lane group
+        wslot_hm = jnp.transpose(wslot, (0, 2, 1, 3, 4)).reshape(
+            bs, num_heads, num_queries * num_points, 4
+        )
+        wlanes = jnp.repeat(wslot_hm, head_dim, axis=-1)  # (B, H, Q*P, 4D)
+
+        idx = yc * w + xc  # (B, Q, H, P)
+        idx = jnp.transpose(idx, (0, 2, 1, 3)).reshape(
+            bs, num_heads, num_queries * num_points
+        )
+        if h * w <= _MSDA_DEFAULTS["dense_level_rows"] and num_queries <= 4096:
+            onehot = (
+                idx[..., None] == jnp.arange(h * w, dtype=idx.dtype)
+            ).astype(tbl.dtype)
+            got = jnp.einsum(
+                "bhqs,bshd->bhqd", onehot, tbl,
+                preferred_element_type=jnp.float32,
+            )  # (B, H, Q*P, 4D)
+        else:
+            starts2 = jnp.stack(
+                [idx, jnp.broadcast_to(head_col, idx.shape)], axis=-1
+            ).reshape(bs, num_heads * num_queries * num_points, 2)
+            dnums = jax.lax.GatherDimensionNumbers(
+                offset_dims=(2,),
+                collapsed_slice_dims=(1, 2),
+                start_index_map=(1, 2),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            )
+            got = jax.lax.gather(
+                tbl,
+                starts2,
+                dnums,
+                slice_sizes=(1, 1, 1, 4 * head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(bs, num_heads, num_queries * num_points, 4 * head_dim)
+        weighted = got.astype(jnp.float32) * wlanes
+        out = out + jnp.sum(
+            weighted.reshape(bs, num_heads, num_queries, num_points * 4, head_dim),
+            axis=3,
+        )
+
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(
+        bs, num_queries, num_heads * head_dim
+    )
 
 
 def _msda_pair_gather(

@@ -34,14 +34,18 @@ class CheckpointManager:
         )
         self.best = {"ap": -1.0, "ap50": -1.0}
 
-    def save(self, epoch: int, state: Any, metrics: Optional[Dict[str, float]] = None):
+    def save(self, epoch: int, state: Any):
         self.manager.save(epoch, args=ocp.args.StandardSave(state))
         self.manager.wait_until_finished()
-        if metrics:
-            for key in ("ap", "ap50"):
-                if key in metrics and metrics[key] > self.best[key]:
-                    self.best[key] = metrics[key]
-                    logger.info(f"new best {key}={metrics[key]:.4f} at epoch {epoch}")
+
+    def update_best(self, ap: float, ap50: float) -> Dict[str, bool]:
+        """Track best metrics; returns which improved (caller saves the
+        best_ap/best_ap50 weight files — HighestCheckpoint semantics,
+        /root/reference/util/utils.py:250-269)."""
+        improved = {"ap": ap > self.best["ap"], "ap50": ap50 > self.best["ap50"]}
+        self.best["ap"] = max(self.best["ap"], ap)
+        self.best["ap50"] = max(self.best["ap50"], ap50)
+        return improved
 
     def latest_epoch(self) -> Optional[int]:
         return self.manager.latest_step()

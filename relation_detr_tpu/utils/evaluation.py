@@ -119,8 +119,10 @@ def evaluate_model(
     topk: int = 300,
     fwd=None,
     verbose: bool = True,
+    buckets=None,
 ) -> Dict[str, float]:
-    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False)
+    kwargs = {} if buckets is None else {"buckets": tuple(buckets)}
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False, **kwargs)
     if fwd is not None:
         # caller-supplied raw forward (tests): unpipelined fallback
         evaluator = CocoEvaluator(ann_file)

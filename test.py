@@ -47,10 +47,12 @@ def parse_args():
     p.add_argument("--msda-impl", default=None,
                    help="MSDA kernel override (auto|corner_pack|gather|...)")
     p.add_argument("--msda-halos", default=None,
-                   help="comma per-level halo radii for the tiled encoder "
-                        "kernel, e.g. 8,6,4,3 for the exact-at-any-offset "
-                        "setting (default 4,3,2,2 is the fast profile; check "
-                        "ops.msda.tiled_clamp_fraction on your checkpoint)")
+                   help="per-level halo radii for the tiled encoder kernel, "
+                        "comma-separated (e.g. 4,3,2,2 = measured fast "
+                        "profile) or 'auto' (default: num_points+1 per "
+                        "level, exact at the reference offset init); the "
+                        "checkpoint's clamp fraction is measured and logged "
+                        "at load time")
     return p.parse_args()
 
 
@@ -89,7 +91,9 @@ def _category_names(ann_file):
 def main():
     args = parse_args()
     from relation_detr_tpu.ops.msda import apply_msda_cli_flags
+    from relation_detr_tpu.utils.runtime import enable_compilation_cache
 
+    enable_compilation_cache()
     apply_msda_cli_flags(args)
     logger = setup_logger()
     ann_file = os.path.join(

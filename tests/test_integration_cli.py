@@ -52,11 +52,13 @@ class_names = ("bg", "red", "green", "blue")
     return cfg, out
 
 
-def _run(cmd, timeout=1500):
+def _run(cmd, timeout=1500, extra_env=None):
     # generous: the train-step compile alone takes 6-9 min on this
     # container's single CPU core (round-2 graph additions pushed it past
     # the old 560 s bound)
     env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu")
+    if extra_env:
+        env.update(extra_env)
     # drop the axon sitecustomize from PYTHONPATH: these subprocesses are
     # CPU-only, and the TPU plugin's claim thread can SIGABRT at exit when
     # another process holds the chip (observed flake)
@@ -76,13 +78,18 @@ def _run(cmd, timeout=1500):
                           env=env)
 
 
-def test_train_then_eval_then_rescore(synth, train_cfg):
+def test_train_then_eval_then_rescore(synth, train_cfg, tmp_path_factory):
     cfg, out = train_cfg
+    cache_dir = str(tmp_path_factory.mktemp("xla_cache"))
     r = _run([sys.executable, "train.py", "--config-file", str(cfg),
-              "--canvas", "320,320", "--max-steps", "1"])
+              "--canvas", "320,320", "--max-steps", "1"],
+             extra_env={"JAX_COMPILATION_CACHE_DIR": cache_dir})
     assert r.returncode == 0, r.stderr[-2000:]
     ckpt = os.path.join(out, "latest.npz")
     assert os.path.exists(ckpt)
+    # the persistent XLA compilation cache populated (runtime.py wiring):
+    # a second process re-running this graph skips the multi-minute compile
+    assert os.listdir(cache_dir), "compilation cache dir stayed empty"
 
     preds = os.path.join(out, "preds.json")
     show_dir = os.path.join(out, "show")
@@ -103,3 +110,23 @@ def test_train_then_eval_then_rescore(synth, train_cfg):
     r = _run([sys.executable, "test.py", "--coco-path", str(synth),
               "--eval-json", preds])
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_resume_from_path_with_bf16(synth, train_cfg, tmp_path_factory):
+    """`--resume PATH` restores from ANOTHER run's checkpoint dir (reference
+    main.py:160-166 parity) and continues at the next epoch; the run doubles
+    as the --mixed-precision bf16 CLI smoke (model.clone dtype plumbing)."""
+    cfg, out = train_cfg
+    # depends on test_train_then_eval_then_rescore having trained epoch 0
+    assert os.path.exists(os.path.join(out, "latest.npz")), \
+        "ordering: the first CLI test must run before the resume test"
+    out2 = tmp_path_factory.mktemp("resume_run")
+    r = _run([sys.executable, "train.py", "--config-file", str(cfg),
+              "--canvas", "320,320", "--max-steps", "1", "--num-epochs", "2",
+              "--output-dir", str(out2),
+              "--resume", str(out), "--mixed-precision", "bf16"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    log = open(os.path.join(out2, "train.log")).read()
+    assert "resumed from epoch 0" in log, log[-2000:]
+    # the resumed run actually trained (epoch 1) and saved its own state
+    assert os.path.exists(os.path.join(out2, "latest.npz"))

@@ -272,3 +272,49 @@ def test_msda_corner_pack_dense_and_gather_paths(dense_rows):
         torch.from_numpy(locs), torch.from_numpy(attn),
     ).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_msda_prepacked_matches_module_and_oracle(seed):
+    """Decoder prepack: pack(mask(proj(V))) == blockdiag-proj(pack(mask(V))).
+
+    The prepacked tables + msda_prepacked must reproduce the module's
+    corner_pack output exactly (incl. padding mask, value_proj bias, and
+    out-of-level zero padding), and both must match the torch oracle."""
+    from relation_detr_tpu.models.attention import MultiScaleDeformableAttention
+    from relation_detr_tpu.ops import msda as M
+
+    rng = np.random.RandomState(seed)
+    shapes = ((12, 16), (6, 8), (3, 4), (2, 2))
+    total = sum(h * w for h, w in shapes)
+    bs, embed, heads = 2, 64, 4
+    mod = MultiScaleDeformableAttention(
+        embed_dim=embed, num_levels=4, num_heads=heads, num_points=4
+    )
+    q = jnp.asarray(rng.randn(bs, 20, embed).astype(np.float32))
+    # references deliberately straying outside [0,1]: zero-padding semantics
+    ref = jnp.asarray((rng.rand(bs, 20, 4, 2) * 1.4 - 0.2).astype(np.float32))
+    val = jnp.asarray(rng.randn(bs, total, embed).astype(np.float32))
+    mask = jnp.asarray(rng.rand(bs, total) > 0.8)
+    params = mod.init(jax.random.key(0), q, ref, val, shapes, mask)
+    with M.msda_defaults(impl="corner_pack"):
+        out_ref = mod.apply(params, q, ref, val, shapes, mask)
+        tables = M.corner_pack_raw_tables(val, shapes, mask)
+        out_pp = mod.apply(params, q, ref, val, shapes, mask,
+                           packed_tables=tables)
+    np.testing.assert_allclose(
+        np.asarray(out_pp), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+    def loss(p, v, prepack):
+        t = M.corner_pack_raw_tables(v, shapes, mask) if prepack else None
+        with M.msda_defaults(impl="corner_pack"):
+            return jnp.sum(
+                mod.apply(p, q, ref, v, shapes, mask, packed_tables=t) ** 2
+            )
+
+    g_ref = jax.grad(loss, argnums=(0, 1))(params, val, False)
+    g_pp = jax.grad(loss, argnums=(0, 1))(params, val, True)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

@@ -33,6 +33,9 @@ def parse_args():
 
 
 def main():
+    from relation_detr_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     args = parse_args()
     from relation_detr_tpu.utils.config import Config
 

@@ -38,7 +38,10 @@ def parse_args():
     p.add_argument("--output-dir", default=None)
     p.add_argument("--num-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None, help="per-chip batch size")
-    p.add_argument("--resume", default=None)
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint directory (the run's own "
+                        "output dir, its checkpoints/ subdir, or any other "
+                        "run's) — reference main.py:160-166 semantics")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--canvas", default="800,1344",
                    help="fixed train canvas 'h,w', or 'buckets' for "
@@ -59,15 +62,19 @@ def parse_args():
     p.add_argument("--msda-impl", default=None,
                    help="MSDA kernel override (auto|corner_pack|gather|...)")
     p.add_argument("--msda-halos", default=None,
-                   help="comma per-level tiled-kernel halo radii (e.g. "
-                        "8,6,4,3 = exact at any offset; default 4,3,2,2)")
+                   help="per-level tiled-kernel halo radii, comma-separated "
+                        "(e.g. 4,3,2,2 = measured fast profile) or 'auto' "
+                        "(default: num_points+1 per level, exact at the "
+                        "reference offset init)")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
     from relation_detr_tpu.ops.msda import apply_msda_cli_flags
+    from relation_detr_tpu.utils.runtime import enable_compilation_cache
 
+    enable_compilation_cache()
     apply_msda_cli_flags(args)
     cfg = Config(args.config_file)
     model_cfg = Config(args.model_config or cfg.model_path)
@@ -153,10 +160,20 @@ def main():
     state = create_train_state(variables, tx)
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     start_epoch = cfg.get("starting_epoch", 0)
-    if args.resume or cfg.get("resume_from_checkpoint"):
-        state = ckpt.restore(state)
-        start_epoch = int(ckpt.latest_epoch()) + 1
-        logger.info(f"resumed from epoch {start_epoch - 1}")
+    resume_from = args.resume or cfg.get("resume_from_checkpoint")
+    if resume_from:
+        # `--resume PATH` restores from PATH (reference main.py:160-166:
+        # resume names any checkpoint dir, not just this run's); a bare
+        # truthy config flag restores from the run's own checkpoints.
+        src = ckpt
+        if isinstance(resume_from, str) and os.path.isdir(resume_from):
+            cand = os.path.join(resume_from, "checkpoints")
+            src = CheckpointManager(cand if os.path.isdir(cand) else resume_from)
+        state = src.restore(state)
+        start_epoch = int(src.latest_epoch()) + 1
+        logger.info(
+            f"resumed from epoch {start_epoch - 1} ({src.directory})"
+        )
 
     step_fn = make_train_step(
         model, criterion_cfg, tx, mesh,
@@ -174,8 +191,20 @@ def main():
 
     from relation_detr_tpu.data.loader import device_prefetch
 
+    def check_divergence(metrics, host=None):
+        # non-finite steps are skipped in-graph (train_step.py) so no
+        # garbage update is ever applied; abort with the exact step id
+        if int(metrics["nonfinite_count"]) > 0:
+            raise RuntimeError(
+                f"non-finite loss first hit at step "
+                f"{int(metrics['first_nonfinite_step'])} "
+                f"({int(metrics['nonfinite_count'])} skipped)"
+                + (f"; latest metrics: {host}" if host else "")
+            )
+
     batch_keys = ("images", "mask", "gt_labels", "gt_boxes", "gt_valid")
     global_step = 0
+    prev_metrics = None
     for epoch in range(start_epoch, num_epochs):
         metric = MetricLogger(print_freq=cfg.get("print_freq", 50), logger=logger)
         for device_batch in metric.log_every(
@@ -185,21 +214,20 @@ def main():
                 jax.profiler.start_trace(os.path.join(output_dir, "profile"))
             state, metrics = step_fn(state, device_batch, rng)
             global_step += 1
+            # per-step divergence stop: check the PREVIOUS step's counter
+            # after dispatching this one — its value is already materialized
+            # on device, so the fetch overlaps the in-flight step instead of
+            # serializing (a diverged run wastes at most one extra step).
+            if prev_metrics is not None:
+                check_divergence(prev_metrics)
+            prev_metrics = metrics
             if profile_range and global_step == profile_range[1]:
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {output_dir}/profile")
             if global_step % cfg.get("print_freq", 50) == 0:
                 host = {k: float(v) for k, v in metrics.items()
                         if k in ("total_loss", "grad_norm", "loss_class", "loss_bbox", "loss_giou")}
-                # non-finite steps are skipped in-graph (train_step.py) so no
-                # garbage update is ever applied; abort with the exact step id
-                if int(metrics["nonfinite_count"]) > 0:
-                    raise RuntimeError(
-                        f"non-finite loss first hit at step "
-                        f"{int(metrics['first_nonfinite_step'])} "
-                        f"({int(metrics['nonfinite_count'])} skipped); "
-                        f"latest metrics: {host}"
-                    )
+                check_divergence(metrics, host)
                 if not math.isfinite(host["total_loss"]):
                     raise RuntimeError(f"non-finite loss at step {global_step}: {host}")
                 metric.update(**host)
@@ -220,6 +248,13 @@ def main():
             variables_now = {"params": state.params, "batch_stats": state.batch_stats}
             stats = evaluate_model(
                 model, variables_now, cfg.test_dataset(), cfg.test_ann_file,
+                batch_size=cfg.get("eval_batch_size", 1),
+                # pin eval canvases: on axon every new adaptive bucket costs a
+                # multi-minute compile inside the training loop; these three
+                # cover nearly all of COCO val at the 800/1333 eval resize
+                buckets=cfg.get(
+                    "eval_buckets", ((800, 1184), (800, 1344), (1344, 800))
+                ),
                 topk=model_cfg.get("select_box_nums_for_evaluation", 300),
                 verbose=False,
             )
@@ -229,12 +264,11 @@ def main():
             if tb_writer is not None:
                 for k, v in stats.items():
                     tb_writer.add_scalar(f"val/{k}", v, global_step)
-            if stats["AP"] > ckpt.best["ap"]:
+            improved = ckpt.update_best(stats["AP"], stats["AP50"])
+            if improved["ap"]:
                 save_weights(os.path.join(output_dir, "best_ap.npz"), variables_now)
-            if stats["AP50"] > ckpt.best["ap50"]:
+            if improved["ap50"]:
                 save_weights(os.path.join(output_dir, "best_ap50.npz"), variables_now)
-            ckpt.best["ap"] = max(ckpt.best["ap"], stats["AP"])
-            ckpt.best["ap50"] = max(ckpt.best["ap50"], stats["AP50"])
         if (
             (epoch + 1) % args.save_every_epochs == 0
             or epoch == num_epochs - 1
@@ -250,6 +284,8 @@ def main():
             save_weights(os.path.join(output_dir, "latest.npz"), weights)
         if stop_now:
             break
+    if prev_metrics is not None:  # the final step was never cross-checked
+        check_divergence(prev_metrics)
     logger.info("training done")
 
 
