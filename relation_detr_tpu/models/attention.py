@@ -194,6 +194,13 @@ class MultiScaleDeformableAttention(nn.Module):
                 f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}"
             )
 
+        # recorded only when an "intermediates"-mutable apply asks for them
+        # (free otherwise): lets utils/clamp_check.py measure a checkpoint's
+        # tiled-kernel clamp fraction at load time without touching the op
+        self.sow(
+            "intermediates", "msda_sampling",
+            (sampling_locations, attention_weights),
+        )
         if packed_tables is not None:
             proj_tables = project_corner_pack_tables(
                 packed_tables, vp_kernel, vp_bias, h

@@ -78,9 +78,14 @@ _MSDA_DEFAULTS = {
 def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_halos=None, tiled_tile_tokens=None,
                       tiled_margin=None, dense_level_rows=None,
-                      tiled_layout=None, decoder_prepack=None):
+                      tiled_layout=None, decoder_prepack=None,
+                      tiled_overflow=None):
     if decoder_prepack is not None:
         _MSDA_DEFAULTS["decoder_prepack"] = bool(decoder_prepack)
+    if tiled_overflow is not None:
+        _MSDA_DEFAULTS["tiled_overflow"] = (
+            "auto" if tiled_overflow == "auto" else int(tiled_overflow)
+        )
     if impl is not None:
         _MSDA_DEFAULTS["impl"] = impl
     if gather_dtype is not None:
@@ -117,11 +122,11 @@ def apply_msda_cli_flags(args) -> None:
 def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
                   dense_level_rows=None, tiled_layout=None,
-                  decoder_prepack=None):
+                  decoder_prepack=None, tiled_overflow=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
-                      tiled_layout, decoder_prepack)
+                      tiled_layout, decoder_prepack, tiled_overflow)
     try:
         yield
     finally:
@@ -378,8 +383,17 @@ def _msda_tiled(
 
     if halos is None:
         halos = _MSDA_DEFAULTS["tiled_halos"]
-    if halos == "auto":  # exact at the radial offset init (radius <= P)
+    halos_auto = halos == "auto"
+    if halos_auto:  # exact at the radial offset init (radius <= P)
         halos = (num_points + 1,) * num_levels
+    overflow_k = _MSDA_DEFAULTS["tiled_overflow"]
+    if overflow_k == "auto":
+        # nothing can clamp at the offset init under auto halos; smaller
+        # halos get the exact side channel for the (rare) out-of-halo
+        # corners of a trained checkpoint
+        overflow_k = 0 if halos_auto else 8
+    if _MSDA_DEFAULTS.get("tiled_layout") == "t_major":
+        overflow_k = 0  # residual implemented for the default t_minor layout
     if tile_tokens is None:
         tile_tokens = _MSDA_DEFAULTS["tiled_tile_tokens"]
     tiled_dtype = _MSDA_DEFAULTS["tiled_dtype"]
@@ -469,19 +483,91 @@ def _msda_tiled(
         # per-entry patch-row index + folded weight (E = 4 corners * P),
         # built directly in the kernel's entry layout ((B,nt,H,E,T), or
         # (B,nt,T,H,E) for t_major)
-        ms, ws = [], []
+        ms, ws, bads, gids = [], [], [], []
         entry_axis = -1 if t_major else -2
         for dy, wy in ((0, 1.0 - fy), (1, fy)):
             cy = y0i + dy
             ly = jnp.clip(cy - by, 0, ph - 1)
             vy = (cy >= 0) & (cy < h)
+            off_y = (cy - by < 0) | (cy - by > ph - 1)
             for dx, wx in ((0, 1.0 - fx), (1, fx)):
                 cx = x0i + dx
                 lx = jnp.clip(cx - bx, 0, pw - 1)
+                in_level = (cx >= 0) & (cx < w) & vy
                 ms.append(ly * pw + lx)
-                ws.append(attn * wy * wx * ((cx >= 0) & (cx < w) & vy))
+                ws.append(attn * wy * wx * in_level)
+                if overflow_k > 0:
+                    off = off_y | (cx - bx < 0) | (cx - bx > pw - 1)
+                    bads.append(in_level & off)
+                    gids.append(jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1))
         m_all = jnp.concatenate(ms, axis=entry_axis)
         w_all = jnp.concatenate(ws, axis=entry_axis)
+
+        residual = None
+        if overflow_k > 0:
+            # EXACT side channel for out-of-halo corners (fixed capacity K
+            # per (tile, head, level)): compact the flagged entries with a
+            # cumsum + one-hot contraction, gather their true values from
+            # the full level, and scatter them back with a one-hot matmul.
+            # Entries beyond capacity keep the border-clamp fallback (never
+            # worse than the clamp-only kernel).
+            K = overflow_k
+            bad_all = jnp.concatenate(bads, axis=entry_axis)  # (B,nt,H,E,T)
+            g_all = jnp.concatenate(gids, axis=entry_axis)
+            bad_f = bad_all.reshape(bs, nt, num_heads, -1)
+            w_f = w_all.reshape(bs, nt, num_heads, -1)
+            g_f = g_all.reshape(bs, nt, num_heads, -1)
+            et = bad_f.shape[-1]
+            t_f = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, et // T, T), 4)
+                .reshape(1, 1, 1, et),
+                bad_f.shape,
+            )
+            pos = jnp.cumsum(bad_f.astype(jnp.int32), axis=-1) - 1
+            handled = bad_f & (pos < K)
+            # remove handled corners from the clamped matmul path
+            w_all = w_all * (1.0 - handled.reshape(w_all.shape).astype(w_all.dtype))
+            onehot = (
+                handled[..., None] & (pos[..., None] == jnp.arange(K))
+            ).astype(jnp.float32)  # (B,nt,H,ET,K)
+            payload = jnp.stack(
+                [g_f.astype(jnp.float32), w_f, t_f.astype(jnp.float32)], -1
+            )
+            buf = jnp.einsum(
+                "bnhec,bnhek->bnhkc", payload, onehot,
+                preferred_element_type=jnp.float32,
+            )  # (B,nt,H,K,3): [row, weight, token-slot]
+            row_buf = jax.lax.stop_gradient(buf[..., 0]).astype(jnp.int32)
+            w_buf = buf[..., 1]
+            t_buf = jax.lax.stop_gradient(buf[..., 2]).astype(jnp.int32)
+            vhw = vl.reshape(bs, h * w, num_heads, head_dim)
+            head_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, num_heads, 1), 2
+            )
+            idx2 = jnp.stack(
+                [row_buf, jnp.broadcast_to(head_iota, row_buf.shape)], -1
+            ).reshape(bs, nt * num_heads * K, 2)
+            dnums_r = jax.lax.GatherDimensionNumbers(
+                offset_dims=(2,),
+                collapsed_slice_dims=(1, 2),
+                start_index_map=(1, 2),
+                operand_batching_dims=(0,),
+                start_indices_batching_dims=(0,),
+            )
+            vals = jax.lax.gather(
+                vhw,
+                idx2,
+                dnums_r,
+                slice_sizes=(1, 1, 1, head_dim),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(bs, nt, num_heads, K, head_dim)
+            onehot_t = (t_buf[..., None] == jnp.arange(T)).astype(jnp.float32)
+            residual = jnp.einsum(
+                "bnhkt,bnhkd->bnthd",
+                onehot_t * w_buf[..., None],
+                vals.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
 
         if use_pallas:
             from relation_detr_tpu.ops.msda_pallas import tiled_matmul_core
@@ -532,6 +618,8 @@ def _msda_tiled(
                 preferred_element_type=jnp.float32,
             )
             out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
+        if residual is not None:
+            out = out + residual
 
     out = out.reshape(bs, nt * T, num_heads * head_dim)
     out = jnp.take(out, jnp.asarray(geo.inv), axis=1)  # (B, Q, H*D)

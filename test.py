@@ -53,6 +53,12 @@ def parse_args():
                         "level, exact at the reference offset init); the "
                         "checkpoint's clamp fraction is measured and logged "
                         "at load time")
+    p.add_argument("--clamp-check", default="auto", choices=("auto", "on", "off"),
+                   help="measure the checkpoint's tiled-MSDA clamp fraction "
+                        "on the first batch at load time (auto = when the "
+                        "tiled kernel is in play); errors above "
+                        "--clamp-threshold if --msda-halos was forced")
+    p.add_argument("--clamp-threshold", type=float, default=1e-3)
     return p.parse_args()
 
 
@@ -141,6 +147,21 @@ def main():
     )()
     if args.checkpoint:
         variables = load_weights(args.checkpoint, dict(variables))
+        if args.clamp_check != "off":
+            # one captured forward on the first batch: log the checkpoint's
+            # tiled-kernel clamp fraction, fail loudly if the user forced
+            # clamping halos (utils/clamp_check.py; round-2 verdict item 2)
+            from relation_detr_tpu.utils.clamp_check import check_checkpoint_clamp
+
+            first = next(iter(loader), None)
+            if first is not None:
+                check_checkpoint_clamp(
+                    model, variables, first["images"], first["mask"],
+                    threshold=args.clamp_threshold,
+                    halos_forced=bool(args.msda_halos)
+                    and args.msda_halos != "auto",
+                    force=args.clamp_check == "on",
+                )
 
     from relation_detr_tpu.utils.evaluation import (
         detection_stream,
