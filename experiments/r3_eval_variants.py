@@ -1,0 +1,63 @@
+"""Round-3 experiment: flagship eval fwd timings across MSDA variants.
+
+Measured with the relay-aware queued-dispatch method (PERF.md): K async
+dispatches + ONE scalar fetch; per-iter = total/K.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _flagship, _init_variables
+from relation_detr_tpu.ops.msda import msda_defaults
+from relation_detr_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+model = _flagship()
+B, H, W, G = 1, 800, 1344, 8
+rng = np.random.RandomState(0)
+images = jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32))
+mask = jnp.zeros((B, H, W), bool)
+variables = _init_variables(
+    model, images, mask, jnp.zeros((B, G), jnp.int32),
+    jnp.full((B, G, 4), 0.5, jnp.float32), jnp.zeros((B, G), bool),
+)
+print("init done", flush=True)
+
+def timed(tag, **overrides):
+    with msda_defaults(**overrides):
+        fwd = jax.jit(lambda v, x, m: jnp.sum(
+            model.apply(v, x, m, train=False)["pred_logits"]))
+        t0 = time.perf_counter()
+        r0 = float(fwd(variables, images, mask))
+        compile_s = time.perf_counter() - t0
+        float(fwd(variables, images, mask))
+        K = 20
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(K):
+            out = fwd(variables, images, mask)
+        float(out)
+        per = (time.perf_counter() - t0) / K
+    print(json.dumps({"tag": tag, "ms": round(per * 1000, 2),
+                      "img_s": round(1 / per, 2),
+                      "compile_s": round(compile_s, 1),
+                      "probe": r0}), flush=True)
+    return per
+
+variants = sys.argv[1:] or ["default", "fast_ovf8", "fast_ovf0", "noprepack"]
+for v in variants:
+    if v == "default":
+        timed("default auto halos + prepack")
+    elif v == "fast_ovf8":
+        timed("halos 4322 + overflow 8", tiled_halos=(4, 3, 2, 2), tiled_overflow=8)
+    elif v == "fast_ovf0":
+        timed("halos 4322 overflow 0", tiled_halos=(4, 3, 2, 2), tiled_overflow=0)
+    elif v == "noprepack":
+        timed("auto halos, prepack OFF", decoder_prepack=False)
+    elif v == "fast_ovf32":
+        timed("halos 4322 + overflow 32", tiled_halos=(4, 3, 2, 2), tiled_overflow=32)

@@ -74,6 +74,10 @@ class RelationDETR(nn.Module):
     # per-stage DCN switch for ResNet archs (reference resnet.py:188-193)
     backbone_stage_with_dcn: Optional[Tuple[bool, bool, bool, bool]] = None
     dropout: float = 0.0  # transformer dropout (shipped configs use 0.0)
+    # rematerialization policy for transformer layers (none|dots|dots_no_batch);
+    # "dots" saves matmul outputs so bf16 cast chains don't re-run in the
+    # backward sweep (models/transformer.py::resolve_remat_policy)
+    remat_policy: Optional[str] = None
 
     def setup(self):
         dtype = jnp.dtype(self.backbone_dtype) if self.backbone_dtype else None
@@ -104,6 +108,7 @@ class RelationDETR(nn.Module):
             query_source=self.query_source,
             learned_query_indicator=self.denoising == "dn",
             dropout=self.dropout,
+            remat_policy=self.remat_policy,
             dtype=jnp.dtype(self.compute_dtype) if self.compute_dtype else None,
             name="transformer",
         )

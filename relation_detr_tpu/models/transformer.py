@@ -39,6 +39,24 @@ from relation_detr_tpu.ops.boxes import inverse_sigmoid
 NEG_INF = -1e9  # finite -inf stand-in: keeps softmax rows with all-blocked keys NaN-free
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Map a config string to a jax.checkpoint rematerialization policy.
+
+    "dots" saves matmul outputs (cheap recompute stays, the MXU work and —
+    crucially under bf16 — the cast chains feeding dots do not re-run in the
+    backward sweep); "dots_no_batch" is the stricter variant. None/"none"
+    keeps full rematerialization (the fp32 default, lowest memory)."""
+    if name in (None, "none"):
+        return None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+    }
+    if name not in policies:
+        raise ValueError(f"unknown remat policy {name!r}; use none|dots|dots_no_batch")
+    return policies[name]
+
+
 class TransformerEncoderLayer(nn.Module):
     """MSDA self-attention + FFN (pre-add + LayerNorm).
 
@@ -97,6 +115,7 @@ class RelationTransformerEncoder(nn.Module):
     num_layers: int = 6
     memory_fusion: bool = True  # False => plain DINO encoder (dino_transformer.py:117-151)
     remat: bool = True
+    remat_policy: Optional[str] = None  # see resolve_remat_policy
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
 
@@ -104,7 +123,8 @@ class RelationTransformerEncoder(nn.Module):
     def __call__(self, query, query_pos, reference_points, spatial_shapes,
                  key_padding_mask, deterministic: bool = True):
         layer_cls = (
-            nn.remat(TransformerEncoderLayer, static_argnums=(5,))
+            nn.remat(TransformerEncoderLayer, static_argnums=(5,),
+                     policy=resolve_remat_policy(self.remat_policy))
             if self.remat
             else TransformerEncoderLayer
         )
@@ -204,6 +224,7 @@ class RelationTransformerDecoder(nn.Module):
     use_relation: bool = True  # False => plain DINO-style decoder without relation bias
     dropout: float = 0.0
     remat: bool = True  # rematerialize layers in the backward pass
+    remat_policy: Optional[str] = None  # see resolve_remat_policy
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -245,7 +266,8 @@ class RelationTransformerDecoder(nn.Module):
                 query_pos = query_pos * query_scale(query)
 
             layer_cls = (
-                nn.remat(TransformerDecoderLayer, static_argnums=(5, 8))
+                nn.remat(TransformerDecoderLayer, static_argnums=(5, 8),
+                         policy=resolve_remat_policy(self.remat_policy))
                 if self.remat
                 else TransformerDecoderLayer
             )
@@ -339,6 +361,7 @@ class RelationTransformer(nn.Module):
     #                    (DN, dn_transformer.py:36-48, 77-87)
     query_source: str = "tgt_embed"
     learned_query_indicator: bool = False  # DN: last channel is an indicator
+    remat_policy: Optional[str] = None  # see resolve_remat_policy
     # compute dtype for the transformer stack (Dense/attention matmuls);
     # fp32 islands: MSDA sampling core, softmaxes, LayerNorms, box math, heads
     dtype: Optional[jnp.dtype] = None
@@ -353,6 +376,7 @@ class RelationTransformer(nn.Module):
             self.num_encoder_layers,
             memory_fusion=self.encoder_memory_fusion,
             dropout=self.dropout,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="encoder",
         )
@@ -366,6 +390,7 @@ class RelationTransformer(nn.Module):
             self.num_decoder_layers,
             use_relation=self.decoder_use_relation,
             dropout=self.dropout,
+            remat_policy=self.remat_policy,
             dtype=self.dtype,
             name="decoder",
         )

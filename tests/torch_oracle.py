@@ -395,3 +395,193 @@ class DetectorShell(nn.Module):
     def __init__(self, transformer):
         super().__init__()
         self.transformer = transformer
+
+
+# ---------------------------------------------------------------------------
+# Full-detector oracle (round-3): FrozenBN ResNet-50 + ChannelMapper +
+# PositionEmbeddingSine + PostProcess, named to reproduce the reference
+# detector's state_dict keys (relation_detr.py module tree) so
+# convert_state_dict maps backbone/neck/batch_stats too.
+# ---------------------------------------------------------------------------
+
+
+class FrozenBatchNorm2d(nn.Module):
+    """Spec: /root/reference/models/bricks/misc.py:9-59."""
+
+    def __init__(self, num_features, eps=1e-5):
+        super().__init__()
+        self.eps = eps
+        self.register_buffer("weight", torch.ones(num_features))
+        self.register_buffer("bias", torch.zeros(num_features))
+        self.register_buffer("running_mean", torch.zeros(num_features))
+        self.register_buffer("running_var", torch.ones(num_features))
+
+    def forward(self, x):
+        w = self.weight.reshape(1, -1, 1, 1)
+        b = self.bias.reshape(1, -1, 1, 1)
+        rv = self.running_var.reshape(1, -1, 1, 1)
+        rm = self.running_mean.reshape(1, -1, 1, 1)
+        scale = w * (rv + self.eps).rsqrt()
+        return x * scale + (b - rm * scale)
+
+
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck with FrozenBN
+    (spec: /root/reference/models/backbones/resnet.py:100-158)."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = FrozenBatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = FrozenBatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = FrozenBatchNorm2d(planes * 4)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return F.relu(out + identity)
+
+
+class ResNet50Backbone(nn.Module):
+    """torchvision-style resnet50 returning layer2..layer4 features
+    (spec: /root/reference/models/backbones/resnet.py:63-339,444-451;
+    the reference freezes BN via FrozenBatchNorm2d)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = FrozenBatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        layers = [3, 4, 6, 3]
+        self.inplanes = 64
+        self.layer1 = self._make_layer(64, layers[0], 1)
+        self.layer2 = self._make_layer(128, layers[1], 2)
+        self.layer3 = self._make_layer(256, layers[2], 2)
+        self.layer4 = self._make_layer(512, layers[3], 2)
+
+    def _make_layer(self, planes, blocks, stride):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride, bias=False),
+                FrozenBatchNorm2d(planes * 4),
+            )
+        out = [Bottleneck(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * 4
+        out += [Bottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*out)
+
+    def forward(self, x):
+        x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        c3 = self.layer2(x)
+        c4 = self.layer3(c3)
+        c5 = self.layer4(c4)
+        return [c3, c4, c5]
+
+
+class ChannelMapper(nn.Module):
+    """Spec: /root/reference/models/necks/channel_mapper.py:27-89 — the extra
+    stride-2 levels append to the SAME `convs` list; norm is GroupNorm(32),
+    no activation (config norm_layer=GN, activation_layer=None)."""
+
+    def __init__(self, in_channels, out_channels, num_outs):
+        super().__init__()
+        convs = []
+        for c in in_channels:
+            convs.append(nn.Sequential(
+                nn.Conv2d(c, out_channels, 1, bias=False),
+                nn.GroupNorm(32, out_channels),
+            ))
+        c = in_channels[-1]
+        for _ in range(num_outs - len(in_channels)):
+            convs.append(nn.Sequential(
+                nn.Conv2d(c, out_channels, 3, 2, 1, bias=False),
+                nn.GroupNorm(32, out_channels),
+            ))
+            c = out_channels
+        self.convs = nn.ModuleList(convs)
+        self.num_inputs = len(in_channels)
+
+    def forward(self, feats):
+        outs = [self.convs[i](feats[i]) for i in range(self.num_inputs)]
+        for i in range(self.num_inputs, len(self.convs)):
+            src = feats[-1] if i == self.num_inputs else outs[-1]
+            outs.append(self.convs[i](src))
+        return outs
+
+
+def position_embedding_sine(mask, num_pos_feats, temperature=10000.0,
+                            scale=2 * math.pi, offset=-0.5):
+    """Spec: /root/reference/models/bricks/position_encoding.py:49-68
+    (normalize=True, offset=-0.5, eps=1e-6)."""
+    not_mask = (~mask).int()
+    y_embed = not_mask.cumsum(1).float()
+    x_embed = not_mask.cumsum(2).float()
+    y_embed = (y_embed + offset) / (y_embed[:, -1:, :] + 1e-6) * scale
+    x_embed = (x_embed + offset) / (x_embed[:, :, -1:] + 1e-6) * scale
+    i = torch.arange(num_pos_feats // 2, dtype=torch.float32)
+    dim_t = temperature ** (i * 2.0 / num_pos_feats)
+    dim_t = dim_t.repeat_interleave(2)  # get_dim_t: position_encoding.py:101-105
+    pos_x = x_embed.unsqueeze(-1) / dim_t
+    pos_y = y_embed.unsqueeze(-1) / dim_t
+    pos_x = torch.stack(
+        (pos_x[..., 0::2].sin(), pos_x[..., 1::2].cos()), -1).flatten(-2)
+    pos_y = torch.stack(
+        (pos_y[..., 0::2].sin(), pos_y[..., 1::2].cos()), -1).flatten(-2)
+    return torch.cat((pos_y, pos_x), 3).permute(0, 3, 1, 2)
+
+
+def post_process_topk(pred_logits, pred_boxes, target_sizes, topk):
+    """Spec: /root/reference/models/bricks/post_process.py:28-43 — flat top-k
+    over (queries x classes) of sigmoid scores, cxcywh->xyxy, scale."""
+    prob = pred_logits.sigmoid()
+    bs, q, k = prob.shape
+    scores, idx = torch.topk(prob.view(bs, -1), topk, dim=1)
+    topk_boxes = torch.div(idx, k, rounding_mode="trunc")
+    labels = idx % k
+    cx, cy, w, h = pred_boxes.unbind(-1)
+    boxes = torch.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    boxes = torch.gather(boxes, 1, topk_boxes.unsqueeze(-1).repeat(1, 1, 4))
+    img_h, img_w = target_sizes.unbind(1)
+    scale = torch.stack([img_w, img_h, img_w, img_h], 1)
+    return boxes * scale[:, None, :], scores, labels
+
+
+class FullDetector(nn.Module):
+    """Eval-mode reference detector: backbone -> neck -> masks/pos-embeds ->
+    transformer (spec: relation_detr.py:51-144 + base_detector.py:153-165).
+    State_dict names mirror the reference detector module tree."""
+
+    def __init__(self, transformer, num_classes, embed_dim):
+        super().__init__()
+        self.backbone = ResNet50Backbone()
+        self.neck = ChannelMapper([512, 1024, 2048], embed_dim,
+                                  len(transformer.level_embeds))
+        self.transformer = transformer
+        # CDN generator's label encoder rides in checkpoints
+        # (relation_detr.py:42-49); eval forward does not use it
+        self.denoising_generator = nn.Module()
+        self.denoising_generator.label_encoder = nn.Embedding(
+            num_classes, embed_dim)
+        self.embed_dim = embed_dim
+
+    def forward(self, images, mask):
+        feats = self.neck(self.backbone(images))
+        masks = [
+            F.interpolate(mask[None].float(), size=f.shape[-2:]).to(torch.bool)[0]
+            for f in feats
+        ]
+        pos = [
+            position_embedding_sine(m, self.embed_dim // 2) for m in masks
+        ]
+        return self.transformer(feats, masks, pos, training=False)

@@ -59,6 +59,12 @@ def parse_args():
                    help="bf16 compute for backbone + transformer matmuls "
                         "(params stay fp32; MSDA core/softmax/loss stay fp32 "
                         "— the reference's AMP islands, main.py:28-35)")
+    p.add_argument("--remat-policy", default=None,
+                   choices=(None, "none", "dots", "dots_no_batch"),
+                   help="rematerialization policy for transformer layers; "
+                        "'dots' saves matmul outputs (recommended with "
+                        "--mixed-precision bf16: cast chains feeding dots "
+                        "don't re-run in the backward sweep)")
     p.add_argument("--msda-impl", default=None,
                    help="MSDA kernel override (auto|corner_pack|gather|...)")
     p.add_argument("--msda-halos", default=None,
@@ -85,6 +91,8 @@ def main():
         model = model.clone(
             backbone_dtype="bfloat16", compute_dtype="bfloat16"
         )
+    if args.remat_policy:
+        model = model.clone(remat_policy=args.remat_policy)
 
     # multi-host: initialize the jax distributed runtime when launched under
     # a multi-process coordinator (replaces init_distributed_mode,
