@@ -61,3 +61,49 @@ for v in variants:
         timed("auto halos, prepack OFF", decoder_prepack=False)
     elif v == "fast_ovf32":
         timed("halos 4322 + overflow 32", tiled_halos=(4, 3, 2, 2), tiled_overflow=32)
+
+def extra_variants(v):
+    if v == "auto_m1":
+        timed("auto halos margin 1", tiled_margin=1)
+    elif v == "auto_m0":
+        timed("auto halos margin 0", tiled_margin=0)
+    elif v == "fast_m1_ovf8":
+        timed("halos 4322 margin1 + ovf8", tiled_halos=(4,3,2,2), tiled_margin=1, tiled_overflow=8)
+    elif v == "auto_m0_t58":
+        timed("auto m0 tile(5,8)", tiled_margin=0, tiled_tile_tokens=(5,8))
+    elif v == "auto_m0_t88":
+        timed("auto m0 tile(8,8)", tiled_margin=0, tiled_tile_tokens=(8,8))
+    else:
+        return False
+    return True
+
+for v in variants:
+    extra_variants(v)
+
+def timed2(tag, model_kwargs=None, **overrides):
+    m = _flagship(**(model_kwargs or {}))
+    with msda_defaults(**overrides):
+        fwd = jax.jit(lambda v, x, m_: jnp.sum(
+            m.apply(v, x, m_, train=False)["pred_logits"]))
+        v2 = _init_variables(
+            m, images, mask, jnp.zeros((1, G), jnp.int32),
+            jnp.full((1, G, 4), 0.5, jnp.float32), jnp.zeros((1, G), bool),
+        )
+        float(fwd(v2, images, mask)); float(fwd(v2, images, mask))
+        K = 20
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(K):
+            out = fwd(v2, images, mask)
+        float(out)
+        per = (time.perf_counter() - t0) / K
+    print(json.dumps({"tag": tag, "ms": round(per * 1000, 2),
+                      "img_s": round(1 / per, 2)}), flush=True)
+
+for v in variants:
+    if v == "dec1":
+        timed2("auto halos dec_layers=1", {"dec_layers": 1})
+    elif v == "enc1":
+        timed2("auto halos enc_layers=1", {"enc_layers": 1})
+    elif v == "norel":
+        timed2("auto halos no relation bias")  # placeholder; see below

@@ -1,0 +1,80 @@
+"""Round-3: flagship train-step timings (B=1, 800x1344) across variants.
+
+Queued-dispatch timing (PERF.md): K steps dispatched async, one fetch.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from __graft_entry__ import _flagship, _init_variables
+from relation_detr_tpu.losses.criterion import CriterionConfig
+from relation_detr_tpu.ops.msda import msda_defaults
+from relation_detr_tpu.parallel.mesh import create_mesh, shard_batch
+from relation_detr_tpu.parallel.train_step import create_train_state, make_train_step
+from relation_detr_tpu.utils.param_groups import build_optimizer
+from relation_detr_tpu.utils.runtime import enable_compilation_cache
+
+enable_compilation_cache()
+
+B, H, W, G = 1, 800, 1344, 20
+rng = np.random.RandomState(0)
+batch = {
+    "images": jnp.asarray(rng.randn(B, H, W, 3).astype(np.float32)),
+    "mask": jnp.zeros((B, H, W), bool),
+    "gt_labels": jnp.asarray(rng.randint(0, 91, (B, G)), jnp.int32),
+    "gt_boxes": jnp.asarray(np.clip(rng.uniform(0.2, 0.6, (B, G, 4)), 0.05, 0.95), jnp.float32),
+    "gt_valid": jnp.asarray(rng.rand(B, G) < 0.8),
+}
+mesh = create_mesh()
+
+
+def timed(tag, model_kwargs=None, msda=None, K=8):
+    model = _flagship()
+    if model_kwargs:
+        model = model.clone(**model_kwargs)
+    with msda_defaults(**(msda or {})):
+        variables = _init_variables(model, batch["images"], batch["mask"],
+                                    batch["gt_labels"], batch["gt_boxes"], batch["gt_valid"])
+        tx = build_optimizer(optax.constant_schedule(1e-4))
+        state = create_train_state(variables, tx)
+        step = make_train_step(model, CriterionConfig(num_classes=91), tx, mesh, donate=False)
+        sb = shard_batch(mesh, batch)
+        key = jax.random.key(0)
+        t0 = time.perf_counter()
+        state, m = step(state, sb, key)
+        probe = float(m["total_loss"])
+        compile_s = time.perf_counter() - t0
+        state, m = step(state, sb, key)
+        float(m["total_loss"])
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, m = step(state, sb, key)
+        float(m["total_loss"])
+        per = (time.perf_counter() - t0) / K
+    print(json.dumps({"tag": tag, "ms": round(per * 1000, 1),
+                      "compile_s": round(compile_s, 1), "loss": round(probe, 3),
+                      "grad_norm": round(float(m["grad_norm"]), 3)}), flush=True)
+
+
+for v in (sys.argv[1:] or ["fp32"]):
+    if v == "fp32":
+        timed("fp32 default (prepack)")
+    elif v == "fp32_dots":
+        timed("fp32 + remat dots", {"remat_policy": "dots"})
+    elif v == "bf16_dots":
+        timed("bf16 + remat dots",
+              {"remat_policy": "dots", "compute_dtype": "bfloat16",
+               "backbone_dtype": "bfloat16"}, K=4)
+    elif v == "bf16_none":
+        timed("bf16 full remat",
+              {"compute_dtype": "bfloat16", "backbone_dtype": "bfloat16"}, K=2)
+    elif v == "fp32_fast":
+        timed("fp32 fast halos ovf8",
+              msda={"tiled_halos": (4, 3, 2, 2), "tiled_overflow": 8})
+    elif v == "fp32_m0":
+        timed("fp32 auto margin0", msda={"tiled_margin": 0})

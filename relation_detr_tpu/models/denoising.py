@@ -43,25 +43,34 @@ class DenoisingMeta(NamedTuple):
     dn_slot_used: jnp.ndarray  # (dn_cap,) bool — slot inside the used dn region
 
 
-def _cdn_box_noise(boxes, positive, box_noise_scale, rng):
+def _cdn_box_noise(boxes, positive, box_noise_scale, rng, draws=None):
     """Contrastive noise (denoising.py:202-231): positives jitter inside the
-    box, negatives are pushed outside (rand_part + 1), in xyxy space."""
-    rng_sign, rng_part = jax.random.split(rng)
+    box, negatives are pushed outside (rand_part + 1), in xyxy space.
+
+    ``draws`` optionally injects the random draws (parity tests vs the torch
+    transcription use identical noise on both sides)."""
+    if draws is None:
+        rng_sign, rng_part = jax.random.split(rng)
+        rand_sign = (
+            jax.random.randint(rng_sign, boxes.shape, 0, 2).astype(jnp.float32)
+            * 2.0 - 1.0
+        )
+        rand_part = jax.random.uniform(rng_part, boxes.shape)
+    else:
+        rand_sign = draws["rand_sign"]
+        rand_part = draws["rand_part"]
     diff = jnp.concatenate([boxes[..., 2:] / 2, boxes[..., 2:] / 2], axis=-1)
-    rand_sign = (
-        jax.random.randint(rng_sign, boxes.shape, 0, 2).astype(jnp.float32) * 2.0 - 1.0
-    )
-    rand_part = jax.random.uniform(rng_part, boxes.shape)
     rand_part = jnp.where(positive[None, :, None], rand_part, rand_part + 1.0)
     xyxy = box_cxcywh_to_xyxy(boxes) + rand_part * rand_sign * diff * box_noise_scale
     return box_xyxy_to_cxcywh(jnp.clip(xyxy, 0.0, 1.0))
 
 
-def _dn_box_noise(boxes, box_noise_scale, rng):
+def _dn_box_noise(boxes, box_noise_scale, rng, draws=None):
     """DN-DETR noise (denoising.py:56-64): center jitter up to wh/2, size
     jitter up to wh, directly in cxcywh space."""
+    u = jax.random.uniform(rng, boxes.shape) if draws is None else draws["noise_u"]
     diff = jnp.concatenate([boxes[..., 2:] / 2, boxes[..., 2:]], axis=-1)
-    noise = (jax.random.uniform(rng, boxes.shape) * 2.0 - 1.0) * diff * box_noise_scale
+    noise = (u * 2.0 - 1.0) * diff * box_noise_scale
     return jnp.clip(boxes + noise, 0.0, 1.0)
 
 
@@ -96,6 +105,7 @@ class GenerateDenoisingQueries(nn.Module):
         gt_valid: jnp.ndarray,  # (B, G) bool
         num_matching_queries: int,
         rng: jax.Array,
+        noise_draws=None,  # optional injected draws (parity tests)
     ):
         bs, max_gt_cap = gt_labels.shape
         dn_cap = self.dn_cap
@@ -139,14 +149,25 @@ class GenerateDenoisingQueries(nn.Module):
         rng_flip, rng_new, rng_box = jax.random.split(rng, 3)
         # CDN halves the flip probability (denoising.py:275)
         flip_prob = self.label_noise_prob * (0.5 if self.contrastive else 1.0)
-        flip = jax.random.uniform(rng_flip, (bs, dn_cap)) < flip_prob
-        random_labels = jax.random.randint(rng_new, (bs, dn_cap), 0, self.num_classes)
+        if noise_draws is None:
+            flip_u = jax.random.uniform(rng_flip, (bs, dn_cap))
+            random_labels = jax.random.randint(
+                rng_new, (bs, dn_cap), 0, self.num_classes
+            )
+        else:
+            flip_u = noise_draws["flip_u"]
+            random_labels = noise_draws["random_labels"]
+        flip = flip_u < flip_prob
         noised_labels = jnp.where(flip, random_labels, labels)
 
         if self.contrastive:
-            noised_boxes = _cdn_box_noise(boxes, positive, self.box_noise_scale, rng_box)
+            noised_boxes = _cdn_box_noise(
+                boxes, positive, self.box_noise_scale, rng_box, noise_draws
+            )
         else:
-            noised_boxes = _dn_box_noise(boxes, self.box_noise_scale, rng_box)
+            noised_boxes = _dn_box_noise(
+                boxes, self.box_noise_scale, rng_box, noise_draws
+            )
 
         label_queries = label_encoder(noised_labels)  # (B, dn_cap, embed_width)
         if self.with_indicator:

@@ -514,32 +514,51 @@ def _msda_tiled(
             K = overflow_k
             bad_all = jnp.concatenate(bads, axis=entry_axis)  # (B,nt,H,E,T)
             g_all = jnp.concatenate(gids, axis=entry_axis)
+            # compaction rank in token-major order, WITHOUT a lane-minor
+            # cumsum over E*T (lane-serial prefix sums measured ~1 ms per
+            # (level, layer) on the flagship): per-token counts reduce over
+            # the E sublanes, their exclusive prefix is one tiny triangular
+            # matmul on the MXU, and the within-token rank is a 16-deep
+            # sublane cumsum.
+            bad_i = bad_all.astype(jnp.float32)
+            count_t = jnp.sum(bad_i, axis=-2)  # (B,nt,H,T)
+            tri = jnp.tril(jnp.ones((T, T), jnp.float32), k=-1)
+            base_t = jnp.einsum(
+                "ts,bnhs->bnht", tri, count_t,
+                preferred_element_type=jnp.float32,
+            )  # exclusive prefix over tokens
+            within = jnp.cumsum(bad_i, axis=-2) - bad_i  # exclusive, over E
+            pos_et = (base_t[:, :, :, None, :] + within).astype(jnp.int32)
+            pos_et = jnp.where(bad_all, pos_et, K)  # non-bad: park beyond K
             bad_f = bad_all.reshape(bs, nt, num_heads, -1)
             w_f = w_all.reshape(bs, nt, num_heads, -1)
             g_f = g_all.reshape(bs, nt, num_heads, -1)
             et = bad_f.shape[-1]
             t_f = jnp.broadcast_to(
-                jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, et // T, T), 4)
-                .reshape(1, 1, 1, et),
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, 1, et // T, T), 4
+                ).reshape(1, 1, 1, et),
                 bad_f.shape,
             )
-            pos = jnp.cumsum(bad_f.astype(jnp.int32), axis=-1) - 1
+            pos = pos_et.reshape(bs, nt, num_heads, -1)
             handled = bad_f & (pos < K)
             # remove handled corners from the clamped matmul path
             w_all = w_all * (1.0 - handled.reshape(w_all.shape).astype(w_all.dtype))
+            # compaction one-hot with K on SUBLANES and ET on lanes — the
+            # (..., ET, K) einsum layout pads K=8 to 128 lanes (16x traffic,
+            # measured +25 ms on the flagship); three lane-reductions over
+            # the (B,nt,H,K,ET) layout are ~free
             onehot = (
-                handled[..., None] & (pos[..., None] == jnp.arange(K))
-            ).astype(jnp.float32)  # (B,nt,H,ET,K)
-            payload = jnp.stack(
-                [g_f.astype(jnp.float32), w_f, t_f.astype(jnp.float32)], -1
-            )
-            buf = jnp.einsum(
-                "bnhec,bnhek->bnhkc", payload, onehot,
-                preferred_element_type=jnp.float32,
-            )  # (B,nt,H,K,3): [row, weight, token-slot]
-            row_buf = jax.lax.stop_gradient(buf[..., 0]).astype(jnp.int32)
-            w_buf = buf[..., 1]
-            t_buf = jax.lax.stop_gradient(buf[..., 2]).astype(jnp.int32)
+                handled[..., None, :]
+                & (pos[..., None, :] == jnp.arange(K)[:, None])
+            ).astype(jnp.float32)  # (B,nt,H,K,ET)
+            row_buf = jax.lax.stop_gradient(
+                jnp.sum(onehot * g_f[..., None, :].astype(jnp.float32), -1)
+            ).astype(jnp.int32)
+            w_buf = jnp.sum(onehot * w_f[..., None, :], -1)
+            t_buf = jax.lax.stop_gradient(
+                jnp.sum(onehot * t_f[..., None, :].astype(jnp.float32), -1)
+            ).astype(jnp.int32)
             vhw = vl.reshape(bs, h * w, num_heads, head_dim)
             head_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, num_heads, 1), 2
