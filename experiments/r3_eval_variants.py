@@ -107,3 +107,32 @@ for v in variants:
         timed2("auto halos enc_layers=1", {"enc_layers": 1})
     elif v == "norel":
         timed2("auto halos no relation bias")  # placeholder; see below
+
+
+def timed3(tag, model=None, **overrides):
+    m = model if model is not None else _flagship()
+    with msda_defaults(**overrides):
+        fwd = jax.jit(lambda v, x, mm: jnp.sum(
+            m.apply(v, x, mm, train=False)["pred_logits"]))
+        v2 = _init_variables(
+            m, images, mask, jnp.zeros((1, G), jnp.int32),
+            jnp.full((1, G, 4), 0.5, jnp.float32), jnp.zeros((1, G), bool),
+        )
+        float(fwd(v2, images, mask)); float(fwd(v2, images, mask))
+        K = 20
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(K):
+            out = fwd(v2, images, mask)
+        float(out)
+        per = (time.perf_counter() - t0) / K
+    print(json.dumps({"tag": tag, "ms": round(per * 1000, 2),
+                      "img_s": round(1 / per, 2)}), flush=True)
+
+for v in variants:
+    if v == "norel":
+        timed3("no relation bias", _flagship().clone(decoder_use_relation=False))
+    elif v == "slices":
+        timed3("auto halos, patch static slices", tiled_patch_mode="slices")
+    elif v == "slices_m0":
+        timed3("auto m0, patch static slices", tiled_patch_mode="slices", tiled_margin=0)

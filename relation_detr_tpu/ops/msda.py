@@ -69,6 +69,9 @@ _MSDA_DEFAULTS = {
     # clamp, never worse than before). "auto" = 0 when halos are "auto"
     # (provably nothing to catch at the offset init) else 8.
     "tiled_overflow": "auto",
+    # patch extraction: "gather" = one lax.gather of nt slabs; "slices" =
+    # nt static lax.slice ops (starts are trace-time constants) — A/B flag
+    "tiled_patch_mode": "gather",
     # tiled prep layout: "t_minor" transposes T to the minor dim;
     # "t_major" keeps the take's natural order with no transposes
     "tiled_layout": "t_minor",
@@ -79,7 +82,9 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_halos=None, tiled_tile_tokens=None,
                       tiled_margin=None, dense_level_rows=None,
                       tiled_layout=None, decoder_prepack=None,
-                      tiled_overflow=None):
+                      tiled_overflow=None, tiled_patch_mode=None):
+    if tiled_patch_mode is not None:
+        _MSDA_DEFAULTS["tiled_patch_mode"] = tiled_patch_mode
     if decoder_prepack is not None:
         _MSDA_DEFAULTS["decoder_prepack"] = bool(decoder_prepack)
     if tiled_overflow is not None:
@@ -122,11 +127,13 @@ def apply_msda_cli_flags(args) -> None:
 def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
                   dense_level_rows=None, tiled_layout=None,
-                  decoder_prepack=None, tiled_overflow=None):
+                  decoder_prepack=None, tiled_overflow=None,
+                  tiled_patch_mode=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
-                      tiled_layout, decoder_prepack, tiled_overflow)
+                      tiled_layout, decoder_prepack, tiled_overflow,
+                      tiled_patch_mode)
     try:
         yield
     finally:
@@ -430,7 +437,17 @@ def _msda_tiled(
         vl = vl.reshape(bs, h, w, num_heads * head_dim)
         # one static-index gather of nt contiguous (Ph, Pw, C) slabs
         starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
-        if bs == 1:
+        if _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices" and bs == 1:
+            vl3 = vl.reshape(h, w, num_heads * head_dim)
+            patch = jnp.stack([
+                jax.lax.slice(
+                    vl3,
+                    (int(y0s[i]), int(x0s[i]), 0),
+                    (int(y0s[i]) + ph, int(x0s[i]) + pw, num_heads * head_dim),
+                )
+                for i in range(nt)
+            ]).reshape(1, nt, ph * pw, num_heads, head_dim)
+        elif bs == 1:
             # transpose-free path: gather straight into (nt, Ph, Pw, C)
             dnums = jax.lax.GatherDimensionNumbers(
                 offset_dims=(1, 2, 3),
