@@ -61,6 +61,12 @@ for v in variants:
         timed("auto halos, prepack OFF", decoder_prepack=False)
     elif v == "fast_ovf32":
         timed("halos 4322 + overflow 32", tiled_halos=(4, 3, 2, 2), tiled_overflow=32)
+    elif v == "slices_c":
+        timed("auto halos + slices (compile check)", tiled_patch_mode="slices")
+    elif v == "fast_slices":
+        timed("fast halos + slices (new fast profile)",
+              tiled_halos=(4, 3, 2, 2), tiled_overflow=0,
+              tiled_patch_mode="slices")
 
 def extra_variants(v):
     if v == "auto_m1":

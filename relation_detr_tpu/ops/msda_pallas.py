@@ -56,20 +56,6 @@ def _build_a_t(m_ref, w_ref, h: int, t: int, m_rows: int, num_entries: int):
     return a_t
 
 
-def _build_a(m_ref, w_ref, h: int, t: int, m_rows: int, num_entries: int):
-    """A(T, M): entry rows broadcast per-sublane scalars across the M lanes —
-    the natural MXU orientation for A @ patch (lhs contracts on LANES, rhs on
-    sublanes; the transposed build forced a sublane-contracted dot, which
-    Mosaic relayouts — measured 2.9 ms/layer slower than the XLA path)."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, m_rows), 1)
-    a = jnp.zeros((t, m_rows), jnp.float32)
-    for e in range(num_entries):
-        idx = m_ref[0, 0, h, e, :][:, None]  # (T, 1) sublane column
-        wgt = w_ref[0, 0, h, e, :][:, None]
-        a = a + jnp.where(iota == idx, wgt, 0.0)
-    return a
-
-
 def _dot_t(a, b):
     """Contract dim 0 of both operands: (K, M) x (K, N) -> (M, N)."""
     return jax.lax.dot_general(
@@ -83,35 +69,34 @@ def _fwd_kernel(m_ref, w_ref, patch_ref, out_ref, *, num_heads, head_dim,
     t = m_ref.shape[4]
     m_rows = patch_ref.shape[2]
     for h in range(num_heads):
-        a = _build_a(m_ref, w_ref, h, t, m_rows, num_entries)  # (T, M)
+        a_t = _build_a_t(m_ref, w_ref, h, t, m_rows, num_entries)  # (M, T)
         ph = patch_ref[0, 0, :, h * head_dim:(h + 1) * head_dim]  # (M, D)
-        out_ref[0, 0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
-            a, ph, preferred_element_type=jnp.float32
-        )
+        # out(T, D) = A @ patch = A_t^T @ patch, contracted on M
+        out_ref[0, 0, :, h * head_dim:(h + 1) * head_dim] = _dot_t(a_t, ph)
 
 
 def _bwd_kernel(m_ref, w_ref, patch_ref, g_ref, dw_ref, dpatch_ref, *,
                 num_heads, head_dim, num_entries):
     t = m_ref.shape[4]
     m_rows = patch_ref.shape[2]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (t, m_rows), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m_rows, t), 0)
     for h in range(num_heads):
-        a = _build_a(m_ref, w_ref, h, t, m_rows, num_entries)  # (T, M)
+        a_t = _build_a_t(m_ref, w_ref, h, t, m_rows, num_entries)
         gh = g_ref[0, 0, :, h * head_dim:(h + 1) * head_dim]  # (T, D)
         ph = patch_ref[0, 0, :, h * head_dim:(h + 1) * head_dim]  # (M, D)
-        # the CUDA col2im scatter-add, as one MXU matmul: A^T(M,T)@(T,D)
-        dpatch_ref[0, 0, :, h * head_dim:(h + 1) * head_dim] = _dot_t(
-            a, gh
+        # the CUDA col2im scatter-add, as one MXU matmul: (M,T)@(T,D)
+        dpatch_ref[0, 0, :, h * head_dim:(h + 1) * head_dim] = jnp.dot(
+            a_t, gh, preferred_element_type=jnp.float32
         )
-        # da(T, M) = g @ patch^T, contracted on D (lanes of both operands)
-        da = jax.lax.dot_general(
-            gh, ph, dimension_numbers=(((1,), (1,)), ((), ())),
+        # da_t(M, T) = patch @ g^T, contracted on D
+        da_t = jax.lax.dot_general(
+            ph, gh, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         for e in range(num_entries):
-            idx = m_ref[0, 0, h, e, :][:, None]  # (T, 1)
+            idx = m_ref[0, 0, h, e, :][None, :]
             dw_ref[0, 0, h, e, :] = jnp.sum(
-                jnp.where(iota == idx, da, 0.0), axis=1
+                jnp.where(iota == idx, da_t, 0.0), axis=0
             )
 
 
