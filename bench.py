@@ -86,12 +86,14 @@ def main():
             "img_per_s": batch / per_iter,
         }
 
-    # fast profile: tiled halos (4,3,2,2) — border-clamps far-out sampling
-    # offsets (PERF.md halo study), so it is NOT the default and NOT the
-    # headline number; reported for visibility.
+    # fast profile: tiled halos (4,3,2,2) + exact overflow side channel —
+    # test.py auto-selects this at checkpoint load when the checkpoint's
+    # measured offsets provably fit it (utils/clamp_check.py). At random
+    # init the offsets need the full auto halos, so it is NOT the headline
+    # number here; reported for visibility.
     from relation_detr_tpu.ops.msda import msda_defaults
 
-    with msda_defaults(tiled_halos=(4, 3, 2, 2)):
+    with msda_defaults(tiled_halos=(4, 3, 2, 2), tiled_overflow=8):
         fwd_fast = jax.jit(
             lambda v, x, m: jnp.sum(model.apply(v, x, m, train=False)["pred_logits"])
         )
@@ -119,8 +121,10 @@ def main():
                       for k, v in results.items()},
         "fast_profile_b1_img_per_s": round(fast_b1, 3),
         "model": "relation_detr_resnet50_800_1333 (eval forward, tiled-MXU "
-                 "msda; default halos exact at init, fast profile = "
-                 "--msda-halos 4,3,2,2)",
+                 "msda + decoder prepack + static-slice patches; default "
+                 "halos exact at init; fast profile = halos 4,3,2,2 + "
+                 "overflow-8 side channel, auto-selected per checkpoint "
+                 "at load when provably exact for it)",
     }
     print(json.dumps(payload))
 

@@ -69,9 +69,12 @@ _MSDA_DEFAULTS = {
     # clamp, never worse than before). "auto" = 0 when halos are "auto"
     # (provably nothing to catch at the offset init) else 8.
     "tiled_overflow": "auto",
-    # patch extraction: "gather" = one lax.gather of nt slabs; "slices" =
-    # nt static lax.slice ops (starts are trace-time constants) — A/B flag
-    "tiled_patch_mode": "gather",
+    # patch extraction: "slices" = nt static lax.slice ops (starts are
+    # trace-time constants; bit-exact, measured -3.8 ms on the flagship,
+    # B=1 path only — B>1 falls back to the gather automatically); costs
+    # ~5 min extra compile per canvas, paid once thanks to the persistent
+    # compilation cache. "gather" = one lax.gather of nt slabs.
+    "tiled_patch_mode": "slices",
     # tiled prep layout: "t_minor" transposes T to the minor dim;
     # "t_major" keeps the take's natural order with no transposes
     "tiled_layout": "t_minor",

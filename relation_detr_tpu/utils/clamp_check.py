@@ -46,14 +46,10 @@ def _iter_sampling(tree, path=()):
                 yield from _iter_sampling(v, path + (k,))
 
 
-def measure_clamp_fractions(
-    model, variables, images, mask, halos=None
-) -> Dict[str, float]:
-    """Run one captured eval forward; return encoder-layer clamp fractions.
-
-    Fractions are attention-weighted (a clamped corner the model barely
-    attends to barely matters). Keys are module paths, values in [0, 1].
-    """
+def capture_sampling(model, variables, images, mask):
+    """One captured eval forward: returns (spatial_shapes, [(path, locs,
+    attn)] for the encoder MSDA layers). Fractions for any halo setting can
+    then be scored without re-running the model."""
     images = jnp.asarray(images)
     mask = jnp.asarray(mask)
     if images.dtype == jnp.uint8:
@@ -68,13 +64,31 @@ def measure_clamp_fractions(
     )
     shapes = _encoder_spatial_shapes(images.shape[1], images.shape[2])
     total = sum(hh * ww for hh, ww in shapes)
-    out = {}
-    for path, locs, attn in _iter_sampling(state.get("intermediates", {})):
-        if locs.shape[1] != total:
-            continue  # decoder layout: corner_pack is exact at any offsets
-        frac = tiled_clamp_fraction(shapes, locs, attn, halos=halos)
-        out[path] = float(frac)
-    return out
+    captured = [
+        (path, locs, attn)
+        for path, locs, attn in _iter_sampling(state.get("intermediates", {}))
+        if locs.shape[1] == total  # decoder layout: corner_pack, any offsets
+    ]
+    return shapes, captured
+
+
+def fractions_for(shapes, captured, halos=None) -> Dict[str, float]:
+    return {
+        path: float(tiled_clamp_fraction(shapes, locs, attn, halos=halos))
+        for path, locs, attn in captured
+    }
+
+
+def measure_clamp_fractions(
+    model, variables, images, mask, halos=None
+) -> Dict[str, float]:
+    """Run one captured eval forward; return encoder-layer clamp fractions.
+
+    Fractions are attention-weighted (a clamped corner the model barely
+    attends to barely matters). Keys are module paths, values in [0, 1].
+    """
+    shapes, captured = capture_sampling(model, variables, images, mask)
+    return fractions_for(shapes, captured, halos=halos)
 
 
 def check_checkpoint_clamp(
@@ -124,3 +138,73 @@ def check_checkpoint_clamp(
             raise RuntimeError(msg)
         logger.warning(msg)
     return worst
+
+
+FAST_HALOS = (4, 3, 2, 2)
+
+
+def check_and_select_profile(
+    model,
+    variables,
+    images,
+    mask,
+    threshold: float = 1e-3,
+    fast_threshold: float = 1e-6,
+    halos_forced: bool = False,
+    allow_fast: bool = True,
+    force: bool = False,
+) -> Optional[str]:
+    """One captured forward: report the clamp fraction at the active halos
+    (failing loudly per ``check_checkpoint_clamp`` semantics) AND, when the
+    checkpoint's measured offsets stay within the fast halos, switch the
+    framework defaults to the fast profile (measured 48.0 vs 70.9 ms on the
+    flagship, PERF.md) with the overflow side channel as safety for images
+    beyond the sample. Returns "fast"/"exact"/None (tiled route inactive).
+    """
+    if not force:
+        if _MSDA_DEFAULTS["impl"] not in ("auto", "auto_xla", "auto_pallas",
+                                          "tiled", "tiled_xla"):
+            return None
+        if jax.default_backend() != "tpu" and _MSDA_DEFAULTS["impl"] in (
+            "auto", "auto_xla", "auto_pallas"
+        ):
+            return None
+    shapes, captured = capture_sampling(model, variables, images, mask)
+    if not captured:
+        return None
+    fracs = fractions_for(shapes, captured)
+    worst = max(fracs.values())
+    halos = _MSDA_DEFAULTS["tiled_halos"]
+    logger.info(
+        "tiled MSDA clamp fraction for this checkpoint (halos=%s): max %.2e "
+        "over %d encoder layers", halos, worst, len(fracs),
+    )
+    if worst > threshold:
+        msg = (
+            f"tiled MSDA would border-clamp {worst:.2%} (attention-weighted) "
+            f"of this checkpoint's sampling corners at halos={halos}. "
+            "Use --msda-halos auto (or larger per-level radii), or raise the "
+            "overflow capacity (ops.msda.set_msda_defaults(tiled_overflow=N))."
+        )
+        if halos_forced:
+            raise RuntimeError(msg)
+        logger.warning(msg)
+    if not allow_fast or halos_forced:
+        return "exact"
+    fast_worst = max(fractions_for(shapes, captured, halos=FAST_HALOS).values())
+    if fast_worst <= fast_threshold:
+        from relation_detr_tpu.ops.msda import set_msda_defaults
+
+        set_msda_defaults(tiled_halos=FAST_HALOS, tiled_overflow=8)
+        logger.info(
+            "fast MSDA profile auto-selected: this checkpoint's measured "
+            "sampling corners all fall within halos %s (fraction %.1e); "
+            "overflow capacity 8 guards unmeasured images. Force "
+            "--msda-profile exact to disable.", FAST_HALOS, fast_worst,
+        )
+        return "fast"
+    logger.info(
+        "staying on exact halos: fast-profile clamp fraction %.2e > %.0e",
+        fast_worst, fast_threshold,
+    )
+    return "exact"

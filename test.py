@@ -59,6 +59,15 @@ def parse_args():
                         "tiled kernel is in play); errors above "
                         "--clamp-threshold if --msda-halos was forced")
     p.add_argument("--clamp-threshold", type=float, default=1e-3)
+    p.add_argument("--msda-profile", default="auto",
+                   choices=("auto", "exact", "fast"),
+                   help="auto (default): measure this checkpoint's sampling "
+                        "offsets at load and switch to the fast tiled "
+                        "profile (halos 4,3,2,2 + overflow 8; 48.0 vs "
+                        "70.9 ms/img, PERF.md) only when provably exact for "
+                        "it; exact: never switch; fast: force the fast "
+                        "profile (the clamp check still errors if it would "
+                        "clamp this checkpoint)")
     return p.parse_args()
 
 
@@ -147,19 +156,28 @@ def main():
     )()
     if args.checkpoint:
         variables = load_weights(args.checkpoint, dict(variables))
+        if args.msda_profile == "fast":
+            from relation_detr_tpu.ops.msda import set_msda_defaults
+            from relation_detr_tpu.utils.clamp_check import FAST_HALOS
+
+            set_msda_defaults(tiled_halos=FAST_HALOS, tiled_overflow=8)
         if args.clamp_check != "off":
             # one captured forward on the first batch: log the checkpoint's
             # tiled-kernel clamp fraction, fail loudly if the user forced
-            # clamping halos (utils/clamp_check.py; round-2 verdict item 2)
-            from relation_detr_tpu.utils.clamp_check import check_checkpoint_clamp
+            # clamping halos, and auto-select the fast profile when this
+            # checkpoint's offsets provably fit it
+            # (utils/clamp_check.py; round-2 verdict item 2)
+            from relation_detr_tpu.utils.clamp_check import check_and_select_profile
 
             first = next(iter(loader), None)
             if first is not None:
-                check_checkpoint_clamp(
+                check_and_select_profile(
                     model, variables, first["images"], first["mask"],
                     threshold=args.clamp_threshold,
-                    halos_forced=bool(args.msda_halos)
-                    and args.msda_halos != "auto",
+                    halos_forced=(bool(args.msda_halos)
+                                  and args.msda_halos != "auto")
+                    or args.msda_profile == "fast",
+                    allow_fast=args.msda_profile == "auto",
                     force=args.clamp_check == "on",
                 )
 

@@ -60,3 +60,44 @@ def test_gate_skips_when_tiled_route_off(tiny_model):
     model, variables, images, mask = tiny_model
     with msda_defaults(impl="corner_pack"):
         assert check_checkpoint_clamp(model, variables, images, mask) is None
+
+
+def test_profile_auto_selection(tiny_model):
+    """check_and_select_profile: at the offset init (radius ~ num_points) the
+    fast halos clamp, so the profile stays exact; with shrunken offsets the
+    fast profile is provably safe and gets auto-selected (defaults switch to
+    FAST_HALOS + overflow safety)."""
+    from relation_detr_tpu.ops.msda import _MSDA_DEFAULTS
+    from relation_detr_tpu.utils.clamp_check import (
+        FAST_HALOS,
+        check_and_select_profile,
+    )
+
+    model, variables, _, _ = tiny_model
+    # canvas large enough that fast-halo patches do NOT cover whole levels
+    # (on the 128x160 fixture canvas every patch spans its full level, so
+    # nothing can ever clamp and "fast" is trivially correct)
+    B, H, W = 1, 256, 320
+    images = jnp.asarray(
+        np.random.RandomState(0).rand(B, H, W, 3).astype(np.float32))
+    mask = jnp.zeros((B, H, W), bool)
+    with msda_defaults():  # snapshot defaults; restore on exit
+        sel = check_and_select_profile(
+            model, variables, images, mask, force=True)
+        assert sel == "exact"
+        assert _MSDA_DEFAULTS["tiled_halos"] == "auto"
+
+    flat = jax.tree_util.tree_flatten_with_path(dict(variables))
+    shrunk = []
+    for path, leaf in flat[0]:
+        keys = [str(getattr(k, "key", k)) for k in path]
+        if "sampling_offsets" in keys and keys[-1] == "bias":
+            leaf = leaf * 0.05
+        shrunk.append(leaf)
+    v2 = jax.tree_util.tree_unflatten(flat[1], shrunk)
+    with msda_defaults():
+        sel = check_and_select_profile(model, v2, images, mask, force=True)
+        assert sel == "fast"
+        assert tuple(_MSDA_DEFAULTS["tiled_halos"]) == FAST_HALOS
+        assert _MSDA_DEFAULTS["tiled_overflow"] == 8
+    assert _MSDA_DEFAULTS["tiled_halos"] == "auto"  # restored

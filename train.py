@@ -91,7 +91,12 @@ def main():
         model = model.clone(
             backbone_dtype="bfloat16", compute_dtype="bfloat16"
         )
-    if args.remat_policy:
+        if args.remat_policy is None:
+            # bf16 under full remat re-runs cast chains in the backward
+            # sweep (measured 31.9 s/step vs 358 ms with dots — PERF.md);
+            # never let the default be the pathological combination
+            args.remat_policy = "dots"
+    if args.remat_policy and args.remat_policy != "none":
         model = model.clone(remat_policy=args.remat_policy)
 
     # multi-host: initialize the jax distributed runtime when launched under
