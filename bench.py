@@ -86,27 +86,6 @@ def main():
             "img_per_s": batch / per_iter,
         }
 
-    # fast profile: tiled halos (4,3,2,2) + exact overflow side channel —
-    # test.py auto-selects this at checkpoint load when the checkpoint's
-    # measured offsets provably fit it (utils/clamp_check.py). At random
-    # init the offsets need the full auto halos, so it is NOT the headline
-    # number here; reported for visibility.
-    from relation_detr_tpu.ops.msda import msda_defaults
-
-    with msda_defaults(tiled_halos=(4, 3, 2, 2), tiled_overflow=8):
-        fwd_fast = jax.jit(
-            lambda v, x, m: jnp.sum(model.apply(v, x, m, train=False)["pred_logits"])
-        )
-        float(fwd_fast(variables, images1, mask1))
-        float(fwd_fast(variables, images1, mask1))
-        K = 20
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(K):
-            out = fwd_fast(variables, images1, mask1)
-        float(out)
-        fast_b1 = 1.0 / ((time.perf_counter() - t0) / K)
-
     best = max(results.values(), key=lambda r: r["img_per_s"])
     payload = {
         "metric": "images_per_sec_per_chip",
@@ -119,12 +98,11 @@ def main():
         ),
         "per_batch": {str(k): {kk: round(vv, 4) for kk, vv in v.items()}
                       for k, v in results.items()},
-        "fast_profile_b1_img_per_s": round(fast_b1, 3),
-        "model": "relation_detr_resnet50_800_1333 (eval forward, tiled-MXU "
-                 "msda + decoder prepack + static-slice patches; default "
-                 "halos exact at init; fast profile = halos 4,3,2,2 + "
-                 "overflow-8 side channel, auto-selected per checkpoint "
-                 "at load when provably exact for it)",
+        "model": "relation_detr_resnet50_800_1333 (eval forward at the "
+                 "default settings: separable-A tiled-MXU msda, auto halos "
+                 "+ margin 1 — zero clamped corners at worst-case init "
+                 "offsets across a 6-canvas sweep — decoder prepack, "
+                 "static-slice patches, separable relation bias)",
     }
     print(json.dumps(payload))
 

@@ -61,6 +61,22 @@ for v in variants:
         timed("auto halos, prepack OFF", decoder_prepack=False)
     elif v == "fast_ovf32":
         timed("halos 4322 + overflow 32", tiled_halos=(4, 3, 2, 2), tiled_overflow=32)
+    elif v == "auto_ovf8":
+        timed("auto halos + overflow 8", tiled_overflow=8)
+    elif v == "m1":
+        timed("auto halos margin1", tiled_margin=1)
+    elif v == "m1_rel3":
+        from relation_detr_tpu.ops.relation_pallas import set_fused_relation
+        set_fused_relation(version=3)
+        timed("auto halos margin1 + separable relation", tiled_margin=1)
+        set_fused_relation(version=1)
+    elif v == "m1_ovf8":
+        timed("auto margin1 + ovf8 (vpu residual)", tiled_margin=1, tiled_overflow=8)
+    elif v == "fast_ovf8_m1":
+        timed("halos 4322 margin1 + ovf8 (vpu residual)",
+              tiled_halos=(4, 3, 2, 2), tiled_margin=1, tiled_overflow=8)
+    elif v == "m1_t58":
+        timed("auto margin1 tile(5,8)", tiled_margin=1, tiled_tile_tokens=(5, 8))
     elif v == "slices_c":
         timed("auto halos + slices (compile check)", tiled_patch_mode="slices")
     elif v == "fast_slices":

@@ -48,13 +48,15 @@ _MSDA_DEFAULTS = {
     # (radius <= num_points level-texels, ms_deform_attn.py:266-278 —
     # measured zero clamped corners at worst-case radius-4 offsets; PERF.md).
     # Offsets beyond the halo border-clamp: use tiled_clamp_fraction to
-    # check a trained checkpoint and --msda-halos to tune ((4,3,2,2) is the
-    # measured fast profile at ~20 ms less per image, 20% worst-case
-    # clamping).
+    # check a trained checkpoint and --msda-halos to tune. Margin 1 is the
+    # smallest patch margin with zero clamped corners at worst-case
+    # radius-4 init offsets across a 6-canvas sweep (margin 0 clamps
+    # 0.9-2.1e-3; PERF.md round-3b) and measures 6.4 ms faster than
+    # margin 2 on the flagship.
     "tiled_dtype": jnp.float32,
     "tiled_halos": "auto",
     "tiled_tile_tokens": (10, 8),
-    "tiled_margin": 2,
+    "tiled_margin": 1,
     # corner_pack levels with <= this many rows use a one-hot MXU matmul
     # instead of a row gather (exact; beats the issue-bound gather there)
     "dense_level_rows": 1536,
@@ -500,28 +502,36 @@ def _msda_tiled(
         x0i = x0.astype(jnp.int32)
         y0i = y0.astype(jnp.int32)
 
-        # per-entry patch-row index + folded weight (E = 4 corners * P),
-        # built directly in the kernel's entry layout ((B,nt,H,E,T), or
-        # (B,nt,T,H,E) for t_major)
-        ms, ws, bads, gids = [], [], [], []
+        # Per-entry patch-row index + folded weight (E = 4 corners * P) in
+        # the kernel entry layout ((B,nt,H,E,T), or (B,nt,T,H,E) for
+        # t_major). Only the Pallas kernel, the t_major A/B path and the
+        # overflow side channel consume these rows — the default XLA path
+        # builds A separably below and never enumerates corners over M.
+        need_entries = use_pallas or t_major or overflow_k > 0
+        ms, ws, bads, gids, gclamps = [], [], [], [], []
         entry_axis = -1 if t_major else -2
-        for dy, wy in ((0, 1.0 - fy), (1, fy)):
-            cy = y0i + dy
-            ly = jnp.clip(cy - by, 0, ph - 1)
-            vy = (cy >= 0) & (cy < h)
-            off_y = (cy - by < 0) | (cy - by > ph - 1)
-            for dx, wx in ((0, 1.0 - fx), (1, fx)):
-                cx = x0i + dx
-                lx = jnp.clip(cx - bx, 0, pw - 1)
-                in_level = (cx >= 0) & (cx < w) & vy
-                ms.append(ly * pw + lx)
-                ws.append(attn * wy * wx * in_level)
-                if overflow_k > 0:
-                    off = off_y | (cx - bx < 0) | (cx - bx > pw - 1)
-                    bads.append(in_level & off)
-                    gids.append(jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1))
-        m_all = jnp.concatenate(ms, axis=entry_axis)
-        w_all = jnp.concatenate(ws, axis=entry_axis)
+        if need_entries:
+            for dy, wy in ((0, 1.0 - fy), (1, fy)):
+                cy = y0i + dy
+                ly = jnp.clip(cy - by, 0, ph - 1)
+                vy = (cy >= 0) & (cy < h)
+                off_y = (cy - by < 0) | (cy - by > ph - 1)
+                for dx, wx in ((0, 1.0 - fx), (1, fx)):
+                    cx = x0i + dx
+                    lx = jnp.clip(cx - bx, 0, pw - 1)
+                    in_level = (cx >= 0) & (cx < w) & vy
+                    ms.append(ly * pw + lx)
+                    ws.append(attn * wy * wx * in_level)
+                    if overflow_k > 0:
+                        off = off_y | (cx - bx < 0) | (cx - bx > pw - 1)
+                        bads.append(in_level & off)
+                        gids.append(
+                            jnp.clip(cy, 0, h - 1) * w + jnp.clip(cx, 0, w - 1)
+                        )
+                        # border slot the clamped matmul path actually reads
+                        gclamps.append((ly + by) * w + (lx + bx))
+            m_all = jnp.concatenate(ms, axis=entry_axis)
+            w_all = jnp.concatenate(ws, axis=entry_axis)
 
         residual = None
         if overflow_k > 0:
@@ -530,7 +540,11 @@ def _msda_tiled(
             # cumsum + one-hot contraction, gather their true values from
             # the full level, and scatter them back with a one-hot matmul.
             # Entries beyond capacity keep the border-clamp fallback (never
-            # worse than the clamp-only kernel).
+            # worse than the clamp-only kernel). DIFFERENCE FORM: the matmul
+            # path keeps every clamped contribution (no per-entry masking,
+            # which the separable A-build below could not express) and the
+            # residual adds w * (v[true corner] - v[border slot the clamp
+            # read]) — net effect w * v_true, exactly.
             K = overflow_k
             bad_all = jnp.concatenate(bads, axis=entry_axis)  # (B,nt,H,E,T)
             g_all = jnp.concatenate(gids, axis=entry_axis)
@@ -562,8 +576,9 @@ def _msda_tiled(
             )
             pos = pos_et.reshape(bs, nt, num_heads, -1)
             handled = bad_f & (pos < K)
-            # remove handled corners from the clamped matmul path
-            w_all = w_all * (1.0 - handled.reshape(w_all.shape).astype(w_all.dtype))
+            gc_f = jnp.concatenate(gclamps, axis=entry_axis).reshape(
+                bs, nt, num_heads, -1
+            )
             # compaction one-hot with K on SUBLANES and ET on lanes — the
             # (..., ET, K) einsum layout pads K=8 to 128 lanes (16x traffic,
             # measured +25 ms on the flagship); three lane-reductions over
@@ -575,6 +590,9 @@ def _msda_tiled(
             row_buf = jax.lax.stop_gradient(
                 jnp.sum(onehot * g_f[..., None, :].astype(jnp.float32), -1)
             ).astype(jnp.int32)
+            border_buf = jax.lax.stop_gradient(
+                jnp.sum(onehot * gc_f[..., None, :].astype(jnp.float32), -1)
+            ).astype(jnp.int32)
             w_buf = jnp.sum(onehot * w_f[..., None, :], -1)
             t_buf = jax.lax.stop_gradient(
                 jnp.sum(onehot * t_f[..., None, :].astype(jnp.float32), -1)
@@ -583,9 +601,6 @@ def _msda_tiled(
             head_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, num_heads, 1), 2
             )
-            idx2 = jnp.stack(
-                [row_buf, jnp.broadcast_to(head_iota, row_buf.shape)], -1
-            ).reshape(bs, nt * num_heads * K, 2)
             dnums_r = jax.lax.GatherDimensionNumbers(
                 offset_dims=(2,),
                 collapsed_slice_dims=(1, 2),
@@ -593,20 +608,29 @@ def _msda_tiled(
                 operand_batching_dims=(0,),
                 start_indices_batching_dims=(0,),
             )
-            vals = jax.lax.gather(
-                vhw,
-                idx2,
-                dnums_r,
-                slice_sizes=(1, 1, 1, head_dim),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            ).reshape(bs, nt, num_heads, K, head_dim)
+
+            def fetch(rows):
+                idx2 = jnp.stack(
+                    [rows, jnp.broadcast_to(head_iota, rows.shape)], -1
+                ).reshape(bs, nt * num_heads * K, 2)
+                return jax.lax.gather(
+                    vhw,
+                    idx2,
+                    dnums_r,
+                    slice_sizes=(1, 1, 1, head_dim),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                ).reshape(bs, nt, num_heads, K, head_dim)
+
+            vals = fetch(row_buf) - fetch(border_buf)
             onehot_t = (t_buf[..., None] == jnp.arange(T)).astype(jnp.float32)
-            residual = jnp.einsum(
-                "bnhkt,bnhkd->bnthd",
-                onehot_t * w_buf[..., None],
-                vals.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
+            # scatter K entries back over tokens on the VPU: an einsum here
+            # is a batched (T,K)@(K,D) matmul with K=8 — 6% MXU lane
+            # utilization, measured as the bulk of the side channel's cost
+            wv = w_buf[..., None] * vals.astype(jnp.float32)  # (B,nt,H,K,D)
+            residual = jnp.sum(
+                onehot_t[..., :, :, None] * wv[..., :, None, :], axis=3
+            )  # (B,nt,H,T,D)
+            residual = jnp.transpose(residual, (0, 1, 3, 2, 4))
 
         if use_pallas:
             from relation_detr_tpu.ops.msda_pallas import tiled_matmul_core
@@ -638,22 +662,47 @@ def _msda_tiled(
             )
             out = out + contrib
         else:
-            m_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, 1, 1, 1, ph * pw), 5
+            # SEPARABLE A-build (the default XLA path). Bilinear is an outer
+            # product: point p's 2x2 corner stencil = (2-entry y-vector) x
+            # (2-entry x-vector), where per-axis clamp puts mass on the
+            # border slot and per-axis level-validity zeros it — the product
+            # reproduces the per-corner clamp+zero semantics bitwise (masks
+            # are exact 1.0/0.0 factors). Cost: O(E*(ph+pw)) compares for
+            # the axis vectors + O(P*M) FMAs for the rank-1 accumulations,
+            # ~5x fewer VPU ops than scattering E=16 one-hot entries over
+            # all M slots (which is what the Pallas/t_major paths still do).
+            y_iota = jax.lax.broadcasted_iota(jnp.int32, (ph, 1), 0)
+            x_iota = jax.lax.broadcasted_iota(jnp.int32, (pw, 1), 0)
+
+            def axis_soft(c0, frac, base, psize, lim, iota, fold):
+                # (B,nt,H,P,psize,T) soft one-hot over one patch axis
+                acc = None
+                for d, wgt in ((0, 1.0 - frac), (1, frac)):
+                    c = c0 + d
+                    slot = jnp.clip(c - base, 0, psize - 1)
+                    w_c = (wgt if fold is None else fold * wgt) * (
+                        (c >= 0) & (c < lim)
+                    )
+                    term = w_c[..., None, :] * (slot[..., None, :] == iota)
+                    acc = term if acc is None else acc + term
+                return acc
+
+            oy = axis_soft(y0i, fy, by, ph, h, y_iota, attn)
+            ox = axis_soft(x0i, fx, bx, pw, w, x_iota, None)
+            # A (B,nt,H,ph,pw,T): sum of P rank-1 outer products; XLA fuses
+            # the broadcast-multiply into the reduction (and onward into the
+            # contraction below) so the P axis never materializes.
+            a_sep = jnp.sum(
+                oy.astype(tiled_dtype)[..., :, None, :]
+                * ox.astype(tiled_dtype)[..., None, :, :],
+                axis=3,
             )
-            # A(B,nt,H,T,M) from entry rows (..., E, T): put T before M.
-            # With a bf16 tiled_dtype the one-hot sum ACCUMULATES in bf16 so
-            # A materializes in bf16 directly (a fp32 build + cast would pay
-            # an extra HBM pass over the largest tensor in the op).
-            a_mat = jnp.sum(
-                w_all.astype(tiled_dtype)[..., None]
-                * (m_all[..., None] == m_iota).astype(tiled_dtype),
-                axis=-3,
-            )  # (B,nt,H,T,M)
             contrib = jnp.einsum(
-                "bnhtm,bnmhd->bnhtd",
-                a_mat,
-                patch.astype(tiled_dtype),
+                "bnhyxt,bnyxhd->bnhtd",
+                a_sep,
+                patch.astype(tiled_dtype).reshape(
+                    bs, nt, ph, pw, num_heads, head_dim
+                ),
                 preferred_element_type=jnp.float32,
             )
             out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))

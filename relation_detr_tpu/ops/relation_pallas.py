@@ -31,18 +31,27 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-# benchmark A/B switch: models/relation.py routes through the fused kernel
-# only when this is on (and the backend is TPU); "version" picks the kernel
-# body (1 = per-head VPU accumulate, 2 = (64,L) feature block + MXU dot)
-_FUSED = {"enabled": True, "version": 1}
+# benchmark A/B switch: models/relation.py routes through the fused path
+# only when this is on (and the backend is TPU); "version" picks the body
+# (3 = separable per-box wh transcendentals + bilinear MXU mixing in
+# models/relation.py — the default, measured -1.6 ms in-model over v1;
+# 1 = per-head VPU Pallas accumulate, 2 = (64,L) feature block + MXU dot)
+_FUSED = {"enabled": True, "version": 3}
 
 
-def set_fused_relation(enabled: bool) -> None:
-    _FUSED["enabled"] = bool(enabled)
+def set_fused_relation(enabled: bool = None, version: int = None) -> None:
+    if enabled is not None:
+        _FUSED["enabled"] = bool(enabled)
+    if version is not None:
+        _FUSED["version"] = int(version)
 
 
 def fused_relation_enabled() -> bool:
     return _FUSED["enabled"]
+
+
+def fused_relation_version() -> int:
+    return _FUSED["version"]
 
 
 def _freqs(embed_dim: int, temperature: float, scale: float) -> np.ndarray:

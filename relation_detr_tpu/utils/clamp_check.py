@@ -151,15 +151,20 @@ def check_and_select_profile(
     threshold: float = 1e-3,
     fast_threshold: float = 1e-6,
     halos_forced: bool = False,
-    allow_fast: bool = True,
+    allow_fast: bool = False,
     force: bool = False,
 ) -> Optional[str]:
     """One captured forward: report the clamp fraction at the active halos
-    (failing loudly per ``check_checkpoint_clamp`` semantics) AND, when the
-    checkpoint's measured offsets stay within the fast halos, switch the
-    framework defaults to the fast profile (measured 48.0 vs 70.9 ms on the
-    flagship, PERF.md) with the overflow side channel as safety for images
-    beyond the sample. Returns "fast"/"exact"/None (tiled route inactive).
+    (failing loudly per ``check_checkpoint_clamp`` semantics) and, when
+    ``allow_fast`` and the checkpoint's measured offsets stay within the
+    fast halos, switch the framework defaults to the reduced-halo profile
+    (halos (4,3,2,2) + overflow-8 side channel as safety for images beyond
+    the sample). ``allow_fast`` defaults OFF since round 3b: the separable
+    A-build made the exact default (auto halos, margin 1) FASTER than the
+    reduced-halo profile with its safety channel (48.5 vs 60.1 ms, PERF.md)
+    — the switch survives for explicit opt-in (--msda-profile fast) and for
+    future kernels where the overflow channel is cheap. Returns
+    "fast"/"exact"/None (tiled route inactive).
     """
     if not force:
         if _MSDA_DEFAULTS["impl"] not in ("auto", "auto_xla", "auto_pallas",

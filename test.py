@@ -61,12 +61,15 @@ def parse_args():
     p.add_argument("--clamp-threshold", type=float, default=1e-3)
     p.add_argument("--msda-profile", default="auto",
                    choices=("auto", "exact", "fast"),
-                   help="auto (default): measure this checkpoint's sampling "
-                        "offsets at load and switch to the fast tiled "
-                        "profile (halos 4,3,2,2 + overflow 8; 48.0 vs "
-                        "70.9 ms/img, PERF.md) only when provably exact for "
-                        "it; exact: never switch; fast: force the fast "
-                        "profile (the clamp check still errors if it would "
+                   help="auto/exact (default): stay on the default tiled "
+                        "profile (auto halos + margin 1 — init-exact and "
+                        "the fastest measured profile, 48.5 ms/img on the "
+                        "flagship; PERF.md round-3b) and report this "
+                        "checkpoint's clamp fraction at load; fast: force "
+                        "the reduced-halo profile (halos 4,3,2,2 + "
+                        "overflow-8 exact side channel, 60.1 ms — only "
+                        "useful if a future kernel makes the side channel "
+                        "cheap; the clamp check still errors if it would "
                         "clamp this checkpoint)")
     return p.parse_args()
 
@@ -177,7 +180,8 @@ def main():
                     halos_forced=(bool(args.msda_halos)
                                   and args.msda_halos != "auto")
                     or args.msda_profile == "fast",
-                    allow_fast=args.msda_profile == "auto",
+                    allow_fast=False,  # default profile is the fastest
+                    # measured exact profile since round 3b (PERF.md)
                     force=args.clamp_check == "on",
                 )
 

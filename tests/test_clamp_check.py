@@ -83,7 +83,7 @@ def test_profile_auto_selection(tiny_model):
     mask = jnp.zeros((B, H, W), bool)
     with msda_defaults():  # snapshot defaults; restore on exit
         sel = check_and_select_profile(
-            model, variables, images, mask, force=True)
+            model, variables, images, mask, force=True, allow_fast=True)
         assert sel == "exact"
         assert _MSDA_DEFAULTS["tiled_halos"] == "auto"
 
@@ -96,7 +96,8 @@ def test_profile_auto_selection(tiny_model):
         shrunk.append(leaf)
     v2 = jax.tree_util.tree_unflatten(flat[1], shrunk)
     with msda_defaults():
-        sel = check_and_select_profile(model, v2, images, mask, force=True)
+        sel = check_and_select_profile(
+            model, v2, images, mask, force=True, allow_fast=True)
         assert sel == "fast"
         assert tuple(_MSDA_DEFAULTS["tiled_halos"]) == FAST_HALOS
         assert _MSDA_DEFAULTS["tiled_overflow"] == 8
