@@ -78,3 +78,19 @@ for v in (sys.argv[1:] or ["fp32"]):
               msda={"tiled_halos": (4, 3, 2, 2), "tiled_overflow": 8})
     elif v == "fp32_m0":
         timed("fp32 auto margin0", msda={"tiled_margin": 0})
+
+for v in sys.argv[1:]:
+    if v == "dots_gatherpatch":
+        timed("fp32 dots + patch gather", {"remat_policy": "dots"},
+              msda={"tiled_patch_mode": "gather"})
+    elif v == "dots_rel1":
+        from relation_detr_tpu.ops.relation_pallas import set_fused_relation
+        set_fused_relation(version=1)
+        timed("fp32 dots + relation v1", {"remat_policy": "dots"})
+        set_fused_relation(version=3)
+    elif v == "dots_margin2":
+        timed("fp32 dots + margin 2", {"remat_policy": "dots"},
+              msda={"tiled_margin": 2})
+    elif v == "dots_cornerpack":
+        timed("fp32 dots + corner_pack encoder", {"remat_policy": "dots"},
+              msda={"impl": "corner_pack"})

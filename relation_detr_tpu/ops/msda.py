@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -340,6 +342,93 @@ def multi_scale_deformable_attention(
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _slice_patches(vl3, y0x0, ph, pw):
+    """nt static window extractions from one level canvas (B=1 fast path).
+
+    vl3 (h, w, C) -> (nt, ph, pw, C); ``y0x0`` is the static tuple of
+    per-tile window origins. Static `lax.slice` starts are ~4 ms faster
+    than the equivalent slab gather on the flagship forward, but the
+    stack-of-slices VJP is nt full-canvas pad+add passes (measured
+    1.34 s/train-step vs 356 ms) — the custom backward below is the
+    windowed scatter-add the gather formulation's VJP lowers to.
+    """
+    return jnp.stack([
+        jax.lax.slice(vl3, (y0, x0, 0), (y0 + ph, x0 + pw, vl3.shape[2]))
+        for y0, x0 in y0x0
+    ])
+
+
+def _slice_patches_fwd(vl3, y0x0, ph, pw):
+    return _slice_patches(vl3, y0x0, ph, pw), vl3.shape
+
+
+def _slice_patches_bwd(y0x0, ph, pw, shape, g):
+    starts = jnp.asarray(np.asarray(y0x0, np.int32))  # (nt, 2)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2, 3),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    d = jax.lax.scatter_add(
+        jnp.zeros(shape, g.dtype),
+        starts,
+        g,
+        dnums,
+        indices_are_sorted=False,
+        unique_indices=False,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+    )
+    return (d,)
+
+
+_slice_patches.defvjp(_slice_patches_fwd, _slice_patches_bwd)
+
+
+@jax.custom_vjp
+def _sep_contract(oy, ox, patch):
+    """out[t,d] = sum_{p,y,x} oy[p,y,t]*ox[p,x,t]*patch[y,x,d] (batched).
+
+    oy (B,nt,H,P,ph,T), ox (B,nt,H,P,pw,T), patch (B,nt,ph,pw,H,D) ->
+    (B,nt,H,T,D). The forward builds A = sum_p oy_p (x) ox_p as P fused
+    rank-1 accumulations and contracts it on the MXU. The custom backward
+    exists because reverse-mode autodiff of the P-sum materializes
+    (B,nt,H,P,ph,pw,T) products (4x the A matrix, ~3 GB per encoder layer
+    at flagship scale — measured 1.34 s/train-step vs 374 ms before the
+    separable build). Here the backward is two A-sized einsums plus two
+    fused VPU broadcast-reductions of exactly the forward A-build cost.
+    """
+    a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
+    return jnp.einsum(
+        "bnhyxt,bnyxhd->bnhtd", a, patch, preferred_element_type=jnp.float32
+    )
+
+
+def _sep_contract_fwd(oy, ox, patch):
+    return _sep_contract(oy, ox, patch), (oy, ox, patch)
+
+
+def _sep_contract_bwd(res, g):
+    oy, ox, patch = res  # g (B,nt,H,T,D)
+    da = jnp.einsum(
+        "bnhtd,bnyxhd->bnhyxt", g, patch, preferred_element_type=jnp.float32
+    )  # (B,nt,H,ph,pw,T)
+    d_oy = jnp.sum(
+        da[:, :, :, None] * ox[..., None, :, :], axis=-2
+    )  # (B,nt,H,P,ph,T)
+    d_ox = jnp.sum(
+        da[:, :, :, None] * oy[..., :, None, :], axis=-3
+    )  # (B,nt,H,P,pw,T)
+    a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
+    d_patch = jnp.einsum(
+        "bnhyxt,bnhtd->bnyxhd", a, g, preferred_element_type=jnp.float32
+    )
+    return d_oy, d_ox, d_patch
+
+
+_sep_contract.defvjp(_sep_contract_fwd, _sep_contract_bwd)
+
+
 def _msda_tiled(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -444,14 +533,10 @@ def _msda_tiled(
         starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
         if _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices" and bs == 1:
             vl3 = vl.reshape(h, w, num_heads * head_dim)
-            patch = jnp.stack([
-                jax.lax.slice(
-                    vl3,
-                    (int(y0s[i]), int(x0s[i]), 0),
-                    (int(y0s[i]) + ph, int(x0s[i]) + pw, num_heads * head_dim),
-                )
-                for i in range(nt)
-            ]).reshape(1, nt, ph * pw, num_heads, head_dim)
+            y0x0 = tuple((int(y0s[i]), int(x0s[i])) for i in range(nt))
+            patch = _slice_patches(vl3, y0x0, ph, pw).reshape(
+                1, nt, ph * pw, num_heads, head_dim
+            )
         elif bs == 1:
             # transpose-free path: gather straight into (nt, Ph, Pw, C)
             dnums = jax.lax.GatherDimensionNumbers(
@@ -689,21 +774,15 @@ def _msda_tiled(
 
             oy = axis_soft(y0i, fy, by, ph, h, y_iota, attn)
             ox = axis_soft(x0i, fx, bx, pw, w, x_iota, None)
-            # A (B,nt,H,ph,pw,T): sum of P rank-1 outer products; XLA fuses
-            # the broadcast-multiply into the reduction (and onward into the
-            # contraction below) so the P axis never materializes.
-            a_sep = jnp.sum(
-                oy.astype(tiled_dtype)[..., :, None, :]
-                * ox.astype(tiled_dtype)[..., None, :, :],
-                axis=3,
-            )
-            contrib = jnp.einsum(
-                "bnhyxt,bnyxhd->bnhtd",
-                a_sep,
+            # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products, fused
+            # into the MXU contraction; custom VJP keeps the backward at
+            # A-sized einsums (see _sep_contract)
+            contrib = _sep_contract(
+                oy.astype(tiled_dtype),
+                ox.astype(tiled_dtype),
                 patch.astype(tiled_dtype).reshape(
                     bs, nt, ph, pw, num_heads, head_dim
                 ),
-                preferred_element_type=jnp.float32,
             )
             out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
         if residual is not None:
