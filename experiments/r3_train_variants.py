@@ -94,3 +94,44 @@ for v in sys.argv[1:]:
     elif v == "dots_cornerpack":
         timed("fp32 dots + corner_pack encoder", {"remat_policy": "dots"},
               msda={"impl": "corner_pack"})
+
+def timed_fwd_only(tag, model_kwargs=None, K=10):
+    """Train-mode forward+loss only (no grad): isolates fwd from backward."""
+    model = _flagship()
+    if model_kwargs:
+        model = model.clone(**model_kwargs)
+    variables = _init_variables(model, batch["images"], batch["mask"],
+                                batch["gt_labels"], batch["gt_boxes"], batch["gt_valid"])
+    from relation_detr_tpu.losses.criterion import relation_detr_loss
+
+    @jax.jit
+    def fwd(v, b, key):
+        dn, dp = jax.random.split(key)
+        outputs = model.apply(v, b["images"], b["mask"], b["gt_labels"],
+                              b["gt_boxes"], b["gt_valid"], train=True,
+                              rngs={"denoising": dn, "dropout": dp})
+        total, _ = relation_detr_loss(
+            CriterionConfig(num_classes=91), outputs, b["gt_labels"],
+            b["gt_boxes"], b["gt_valid"], hybrid_assign=6)
+        return total
+
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    probe = float(fwd(variables, batch, key))
+    compile_s = time.perf_counter() - t0
+    float(fwd(variables, batch, key))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(K):
+        out = fwd(variables, batch, key)
+    float(out)
+    per = (time.perf_counter() - t0) / K
+    print(json.dumps({"tag": tag, "ms": round(per * 1000, 1),
+                      "compile_s": round(compile_s, 1), "loss": round(probe, 3)}), flush=True)
+
+
+for v in sys.argv[1:]:
+    if v == "fwd_only":
+        timed_fwd_only("train-mode fwd+loss only")
+    elif v == "fwd_only_nohybrid":
+        timed_fwd_only("fwd+loss, hybrid branch off", {"hybrid_assign_stop": True})

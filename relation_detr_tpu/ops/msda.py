@@ -342,6 +342,53 @@ def multi_scale_deformable_attention(
     return out.reshape(bs, num_queries, num_heads * head_dim).astype(in_dtype)
 
 
+def _perm_take(x, perm, inv, axis=1):
+    """take(x, perm) whose backward is take(g, inv) — not a scatter.
+
+    XLA lowers the VJP of a gather to scatter-add; for the tiled kernel's
+    token<->tile-slot permutations the adjoint is itself a permutation
+    take. Padding slots (perm duplicates token 0) are safe: their
+    cotangents are exactly zero because only the inverse-permuted outputs
+    leave the kernel.
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return jnp.take(x, perm, axis=axis)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        return (jnp.take(g, inv, axis=axis),)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
+def _perm_untile(x, inv, perm, valid, axis=1):
+    """take(x, inv) (tile slots -> tokens) with a take-based backward.
+
+    Backward: d(slots)[s] = g[perm[s]] for valid slots, 0 for padding.
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return jnp.take(x, inv, axis=axis)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        d = jnp.take(g, perm, axis=axis)
+        shape = [1] * d.ndim
+        shape[axis] = valid.shape[0]
+        return (d * valid.reshape(shape).astype(d.dtype),)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _slice_patches(vl3, y0x0, ph, pw):
     """nt static window extractions from one level canvas (B=1 fast path).
@@ -364,21 +411,14 @@ def _slice_patches_fwd(vl3, y0x0, ph, pw):
 
 
 def _slice_patches_bwd(y0x0, ph, pw, shape, g):
-    starts = jnp.asarray(np.asarray(y0x0, np.int32))  # (nt, 2)
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1, 2, 3),
-        inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0, 1),
-    )
-    d = jax.lax.scatter_add(
-        jnp.zeros(shape, g.dtype),
-        starts,
-        g,
-        dnums,
-        indices_are_sorted=False,
-        unique_indices=False,
-        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-    )
+    # windowed accumulate in a Pallas kernel: lax.scatter_add lowers to a
+    # SERIAL while of nt dynamic-update-slices (~30 ms/train-step across
+    # the encoder; hlo_stats-profiled), the kernel keeps the canvas in
+    # VMEM and runs at HBM speed (ops/patch_scatter.py)
+    from relation_detr_tpu.ops.patch_scatter import window_accumulate
+
+    starts = np.asarray(y0x0, np.int32)
+    d = window_accumulate(g, starts[:, 0], starts[:, 1], shape[0], shape[1])
     return (d,)
 
 
@@ -502,7 +542,6 @@ def _msda_tiled(
         spatial_shapes, tile_tokens, halos, _MSDA_DEFAULTS["tiled_margin"]
     )
     nt, T = geo.ntiles, geo.T
-    permf = jnp.asarray(geo.perm.reshape(-1))  # (nt*T,)
 
     # Layout discipline (the perf-critical part): every intermediate keeps T
     # in the MINOR dimension. TPU tensors tile the last two dims to (8, 128);
@@ -513,11 +552,16 @@ def _msda_tiled(
     # ("t_major" keeps the take's natural (B,nt,T,...) order with no
     # transposes at all and lets XLA assign layouts inside the fusion.)
     t_major = _MSDA_DEFAULTS.get("tiled_layout") == "t_major"
-    loc_t = jnp.take(
-        sampling_locations.reshape(bs, num_queries, -1), permf, axis=1
+    # numpy index constants (NOT jnp): the _perm_take/_perm_untile custom-vjp
+    # closures capture them, and a jnp array materialized inside a remat
+    # trace would leak into the later backward trace
+    permf_np = geo.perm.reshape(-1)
+    invf_np = geo.inv
+    loc_t = _perm_take(
+        sampling_locations.reshape(bs, num_queries, -1), permf_np, invf_np
     ).reshape(bs, nt, T, num_heads, num_levels, num_points, 2)
-    attn_t = jnp.take(
-        attention_weights.reshape(bs, num_queries, -1), permf, axis=1
+    attn_t = _perm_take(
+        attention_weights.reshape(bs, num_queries, -1), permf_np, invf_np
     ).reshape(bs, nt, T, num_heads, num_levels, num_points)
     if not t_major:
         loc_t = jnp.transpose(loc_t, (0, 1, 3, 4, 5, 6, 2))  # (B,nt,H,L,P,2,T)
@@ -789,7 +833,9 @@ def _msda_tiled(
             out = out + residual
 
     out = out.reshape(bs, nt * T, num_heads * head_dim)
-    out = jnp.take(out, jnp.asarray(geo.inv), axis=1)  # (B, Q, H*D)
+    out = _perm_untile(
+        out, invf_np, permf_np, geo.slot_valid.reshape(-1)
+    )  # (B, Q, H*D)
     return out.astype(in_dtype)
 
 
