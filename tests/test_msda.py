@@ -389,3 +389,37 @@ def test_msda_tiled_overflow_residual_grads():
                                rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_default_geometry_init_exact_across_canvases():
+    """The DEFAULT tiled geometry (auto halos + default margin) must clamp
+    exactly zero corners at worst-case radius-P init offsets (the
+    reference's radial grid init, ms_deform_attn.py:266-278) on canvases
+    with different fractional tile origins — the guarantee that makes the
+    shipped profile init-exact (PERF.md round-3b margin sweep)."""
+    from relation_detr_tpu.ops.msda import tiled_clamp_fraction
+
+    strides = (8, 16, 32, 64)
+    P, H = 4, 8
+    th = 2 * np.pi * np.arange(H) / H
+    dirs = np.stack([np.cos(th), np.sin(th)], -1)
+    dirs = dirs / np.abs(dirs).max(-1, keepdims=True)
+    for ch, cw in [(800, 1184), (608, 864)]:
+        shapes = tuple((-(-ch // s), -(-cw // s)) for s in strides)
+        refs = []
+        for h, w in shapes:
+            yy, xx = np.meshgrid(
+                (np.arange(h) + 0.5) / h, (np.arange(w) + 0.5) / w, indexing="ij"
+            )
+            refs.append(np.stack([xx, yy], -1).reshape(-1, 2))
+        refs = np.concatenate(refs)
+        wl = np.array([[w, h] for h, w in shapes], np.float32)
+        off = (
+            dirs[None, :, None, None, :]
+            * (np.arange(1, P + 1))[None, None, None, :, None]
+        )
+        locs = refs[:, None, None, None, :] + off / wl[None, None, :, None, :]
+        frac = float(
+            tiled_clamp_fraction(shapes, jnp.asarray(locs[None], jnp.float32))
+        )
+        assert frac == 0.0, (ch, cw, frac)
