@@ -423,3 +423,25 @@ def test_default_geometry_init_exact_across_canvases():
             tiled_clamp_fraction(shapes, jnp.asarray(locs[None], jnp.float32))
         )
         assert frac == 0.0, (ch, cw, frac)
+
+
+def test_msda_tiled_xla_grads_slices_vs_gather_patches():
+    """The static-slices patch path (custom scatter-add VJP via the Pallas
+    window accumulator) must produce the same tiled gradients as the slab
+    gather path."""
+    from relation_detr_tpu.ops.msda import msda_defaults
+
+    value, shapes, locs, attn = make_encoder_inputs(6, bs=1, num_heads=2)
+
+    def loss(v, l, a):
+        return jnp.sum(
+            multi_scale_deformable_attention(v, shapes, l, a, impl="tiled_xla") ** 2
+        )
+
+    args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+    with msda_defaults(tiled_patch_mode="gather"):
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    with msda_defaults(tiled_patch_mode="slices"):
+        g_new = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
