@@ -63,6 +63,36 @@ def test_jit_compiles():
     assert out.shape == (8,)
 
 
+def test_stress_vs_scipy_tiled_ties_padding():
+    """Structured stress: hybrid-style tiled duplicate rows (block-capped
+    validity), heavy integer ties, and random padding — the cases that broke
+    past warm-start variants. Contract: optimal total cost == scipy's."""
+    rng = np.random.RandomState(7)
+    f = jax.jit(hungarian_assignment)
+
+    def check(cost, mask):
+        out = np.asarray(f(jnp.asarray(cost), jnp.asarray(mask)))
+        real = np.where(mask)[0]
+        if len(real) == 0:
+            assert (out == -1).all()
+            return
+        assert (out[~mask] == -1).all()
+        cols = out[real]
+        assert (cols >= 0).all() and len(set(cols.tolist())) == len(real)
+        ri, ci = linear_sum_assignment(cost[real])
+        np.testing.assert_allclose(
+            cost[real, cols].sum(), cost[real][ri, ci].sum(), rtol=1e-5, atol=1e-4
+        )
+
+    for _ in range(4):
+        base = rng.randn(6, 150).astype(np.float32)
+        check(np.tile(base, (6, 1)), np.tile(rng.rand(6) < 0.7, 6))
+    for _ in range(4):
+        check(rng.randint(0, 4, (12, 40)).astype(np.float32), np.ones(12, bool))
+    for _ in range(4):
+        check(rng.randn(20, 90).astype(np.float32), rng.rand(20) < 0.6)
+
+
 def test_nan_cost_terminates_and_is_discardable():
     """Non-finite costs must not hang the on-device while_loops (regression:
     a NaN batch stalled the whole train step before the non-finite skip could
