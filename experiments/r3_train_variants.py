@@ -78,6 +78,12 @@ for v in (sys.argv[1:] or ["fp32"]):
               msda={"tiled_halos": (4, 3, 2, 2), "tiled_overflow": 8})
     elif v == "fp32_m0":
         timed("fp32 auto margin0", msda={"tiled_margin": 0})
+    elif v.startswith("unroll"):
+        from relation_detr_tpu.ops.hungarian import set_hungarian_unroll
+        n = int(v[len("unroll"):])
+        set_hungarian_unroll(n)
+        timed(f"fp32 matcher unroll {n}")
+        set_hungarian_unroll(1)
 
 for v in sys.argv[1:]:
     if v == "dots_gatherpatch":

@@ -43,6 +43,19 @@ import jax.numpy as jnp
 
 _INF = jnp.float32(1e30)
 
+# Steps of the fused solver body executed per while_loop trip. Each trip pays
+# one serial loop-window latency on TPU; unrolling trades window count for a
+# longer fused body, which wins iff per-iteration overhead (not the ~1.5k-wide
+# vector math) dominates. Tuned on TPU via set_hungarian_unroll; exactness is
+# unaffected (completed lanes pass through unrolled sub-steps unchanged).
+_UNROLL = 1
+
+
+def set_hungarian_unroll(n: int) -> None:
+    global _UNROLL
+    assert n >= 1
+    _UNROLL = n
+
 
 class _Carry(NamedTuple):
     cur_row: jnp.ndarray  # () int32 — row being augmented; num_rows => done
@@ -214,5 +227,15 @@ def hungarian_assignment(cost: jnp.ndarray, row_mask: jnp.ndarray) -> jnp.ndarra
             bt_j=bt_j_next,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    def unrolled_body(c: _Carry) -> _Carry:
+        out = body(c)
+        for _ in range(_UNROLL - 1):
+            done = out.cur_row >= num_rows
+            nxt = body(out)
+            out = jax.tree.map(
+                lambda a, b: jnp.where(done, a, b), out, nxt
+            )
+        return out
+
+    final = jax.lax.while_loop(cond, unrolled_body, init)
     return jnp.where(row_mask, final.col4row, -1)
