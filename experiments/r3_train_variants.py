@@ -78,6 +78,20 @@ for v in (sys.argv[1:] or ["fp32"]):
               msda={"tiled_halos": (4, 3, 2, 2), "tiled_overflow": 8})
     elif v == "fp32_m0":
         timed("fp32 auto margin0", msda={"tiled_margin": 0})
+    elif v == "fp32_g100":
+        # real-loader GT capacity (data/loader.py MAX_GT=100): the padded
+        # hybrid buffer is 600 rows; the fused matcher must stay
+        # capacity-independent
+        G2 = 100
+        batch["gt_labels"] = jnp.asarray(rng.randint(0, 91, (B, G2)), jnp.int32)
+        batch["gt_boxes"] = jnp.asarray(
+            np.clip(rng.uniform(0.2, 0.6, (B, G2, 4)), 0.05, 0.95), jnp.float32)
+        batch["gt_valid"] = jnp.asarray(np.arange(G2)[None] < 20)
+        timed("fp32 MAX_GT=100 capacity (20 real)")
+        batch["gt_labels"] = jnp.asarray(rng.randint(0, 91, (B, G)), jnp.int32)
+        batch["gt_boxes"] = jnp.asarray(
+            np.clip(rng.uniform(0.2, 0.6, (B, G, 4)), 0.05, 0.95), jnp.float32)
+        batch["gt_valid"] = jnp.asarray(rng.rand(B, G) < 0.8)
     elif v.startswith("unroll"):
         from relation_detr_tpu.ops.hungarian import set_hungarian_unroll
         n = int(v[len("unroll"):])
