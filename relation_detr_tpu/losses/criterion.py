@@ -72,6 +72,7 @@ def compute_matching(
     gt_labels: jnp.ndarray,  # (B, G)
     gt_boxes: jnp.ndarray,  # (B, G, 4) cxcywh
     gt_valid: jnp.ndarray,  # (B, G)
+    row_group=None,  # (G,) optional: tiled-duplicate group ids (see hungarian.py)
 ) -> jnp.ndarray:
     """Hungarian match per image -> (B, G) query index per GT (-1 invalid)."""
 
@@ -98,7 +99,7 @@ def compute_matching(
             + cfg.cost_giou * cost_giou
         )  # (Q, G)
         cost = jnp.where(valid[None, :], cost, 0.0).T  # (G, Q), pad rows uniform
-        return hungarian_assignment(cost, valid)
+        return hungarian_assignment(cost, valid, row_group)
 
     return jax.vmap(one_image)(pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid)
 
@@ -185,11 +186,16 @@ def calculate_loss(
     Mirrors SetCriterion.calculate_loss (set_criterion.py:120-131).
     """
     if match is None:
+        row_group = None
         if cfg.mixed_match > 1:
+            base_g = gt_labels.shape[1]
             gt_labels, gt_boxes, gt_valid = tile_targets(
                 gt_labels, gt_boxes, gt_valid, cfg.mixed_match, pred_logits.shape[1]
             )
-        match = compute_matching(cfg, pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid)
+            row_group = jnp.tile(jnp.arange(base_g, dtype=jnp.int32), cfg.mixed_match)
+        match = compute_matching(
+            cfg, pred_logits, pred_boxes, gt_labels, gt_boxes, gt_valid, row_group
+        )
 
     bs, num_queries, _ = pred_logits.shape
     b_idx = jnp.broadcast_to(jnp.arange(bs)[:, None], match.shape)
@@ -227,6 +233,7 @@ def criterion_forward(
     gt_boxes: jnp.ndarray,
     gt_valid: jnp.ndarray,
     num_boxes: jnp.ndarray,
+    row_group=None,
 ) -> Dict[str, jnp.ndarray]:
     """Losses for final output + per-layer aux + encoder outputs.
 
@@ -238,9 +245,11 @@ def criterion_forward(
     """
     if cfg.mixed_match > 1:
         num_queries = outputs["pred_logits"].shape[1]
+        base_g = gt_labels.shape[1]
         gt_labels, gt_boxes, gt_valid = tile_targets(
             gt_labels, gt_boxes, gt_valid, cfg.mixed_match, num_queries
         )
+        row_group = jnp.tile(jnp.arange(base_g, dtype=jnp.int32), cfg.mixed_match)
 
     set_names = [""]
     set_logits = [outputs["pred_logits"]]
@@ -265,7 +274,9 @@ def criterion_forward(
     stacked_boxes = jnp.stack(set_boxes)
     stacked_labels = jnp.stack(set_labels)
     match_all = jax.vmap(
-        lambda lg, bx, lb: compute_matching(cfg, lg, bx, lb, gt_boxes, gt_valid)
+        lambda lg, bx, lb: compute_matching(
+            cfg, lg, bx, lb, gt_boxes, gt_valid, row_group
+        )
     )(stacked_logits, stacked_boxes, stacked_labels)  # (S, B, G)
 
     losses: Dict[str, jnp.ndarray] = {}
@@ -397,6 +408,9 @@ def relation_detr_loss(
         tiled_labels = jnp.tile(gt_labels, (1, hybrid_assign))
         tiled_boxes = jnp.tile(gt_boxes, (1, hybrid_assign, 1))
         tiled_valid = jnp.tile(gt_valid, (1, hybrid_assign))
+        hybrid_group = jnp.tile(
+            jnp.arange(gt_labels.shape[1], dtype=jnp.int32), hybrid_assign
+        )
         hybrid_num_boxes = jnp.maximum(
             jnp.sum(tiled_valid).astype(jnp.float32), 1.0
         )
@@ -407,6 +421,7 @@ def relation_detr_loss(
             tiled_boxes,
             tiled_valid,
             hybrid_num_boxes,
+            row_group=hybrid_group,
         )
         losses.update({f"{k}_hybrid": v for k, v in hybrid.items()})
 
