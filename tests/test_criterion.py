@@ -97,3 +97,75 @@ def test_padded_gts_contribute_nothing(cfg):
     for k in base:
         np.testing.assert_allclose(float(base[k]), float(padded[k]), rtol=1e-5,
                                    err_msg=k)
+
+
+def _np_cost_matrix(cfg, logits, boxes, labels, tgt_boxes):
+    """Literal numpy transcription of the reference cost formula
+    (hungarian_matcher.py:41-59): focal-aware class cost + L1 cdist + GIoU."""
+    prob = 1.0 / (1.0 + np.exp(-logits))  # (Q, K)
+    prob_at = prob[:, labels]  # (Q, G)
+    neg = -(1 - cfg.focal_alpha) * prob_at**cfg.focal_gamma * np.log(1 - prob_at + 1e-6)
+    pos = -cfg.focal_alpha * (1 - prob_at) ** cfg.focal_gamma * np.log(prob_at + 1e-6)
+    cost_class = pos - neg
+    cost_bbox = np.abs(boxes[:, None, :] - tgt_boxes[None, :, :]).sum(-1)
+
+    def xyxy(b):
+        return np.concatenate([b[..., :2] - b[..., 2:] / 2, b[..., :2] + b[..., 2:] / 2], -1)
+
+    a, b = xyxy(boxes)[:, None, :], xyxy(tgt_boxes)[None, :, :]
+    lt, rb = np.maximum(a[..., :2], b[..., :2]), np.minimum(a[..., 2:], b[..., 2:])
+    inter = np.clip(rb - lt, 0, None).prod(-1)
+    area_a = (a[..., 2] - a[..., 0]) * (a[..., 3] - a[..., 1])
+    area_b = (b[..., 2] - b[..., 0]) * (b[..., 3] - b[..., 1])
+    union = area_a + area_b - inter
+    iou = inter / np.maximum(union, 1e-9)
+    elt = np.minimum(a[..., :2], b[..., :2])
+    erb = np.maximum(a[..., 2:], b[..., 2:])
+    enc = np.clip(erb - elt, 0, None).prod(-1)
+    giou = iou - (enc - union) / np.maximum(enc, 1e-9)
+    return (
+        cfg.cost_bbox * cost_bbox + cfg.cost_class * cost_class - cfg.cost_giou * giou
+    )
+
+
+@pytest.mark.parametrize("mixed", [1, 6])
+def test_compute_matching_optimal_vs_scipy_on_criterion_costs(mixed):
+    """Golden: the on-device match (incl. tiled mixed-match with row groups)
+    achieves scipy's optimal cost on an independently-built cost matrix."""
+    from scipy.optimize import linear_sum_assignment
+
+    from relation_detr_tpu.losses.criterion import tile_targets
+
+    cfg = CriterionConfig(num_classes=10, mixed_match=mixed)
+    rng = np.random.RandomState(11)
+    B, Q, G = 2, 60, 5
+    logits = rng.randn(B, Q, 10).astype(np.float32)
+    boxes = np.clip(rng.uniform(0.2, 0.7, (B, Q, 4)), 0.05, 0.9).astype(np.float32)
+    labels = rng.randint(0, 10, (B, G)).astype(np.int32)
+    tboxes = np.clip(rng.uniform(0.2, 0.7, (B, G, 4)), 0.05, 0.9).astype(np.float32)
+    valid = np.ones((B, G), bool)
+    valid[1, 3:] = False
+
+    tl, tb, tv = tile_targets(
+        jnp.asarray(labels), jnp.asarray(tboxes), jnp.asarray(valid), mixed, Q
+    )
+    group = (
+        jnp.tile(jnp.arange(G, dtype=jnp.int32), mixed) if mixed > 1 else None
+    )
+    match = np.asarray(
+        compute_matching(
+            cfg, jnp.asarray(logits), jnp.asarray(boxes), tl, tb, tv, group
+        )
+    )
+    tl, tb, tv = np.asarray(tl), np.asarray(tb), np.asarray(tv)
+    for b in range(B):
+        real = np.where(tv[b])[0]
+        cost = _np_cost_matrix(cfg, logits[b], boxes[b], tl[b][real], tb[b][real])
+        cols = match[b][real]
+        assert (match[b][~tv[b]] == -1).all()
+        assert (cols >= 0).all() and len(set(cols.tolist())) == len(real)
+        ours = cost[cols, np.arange(len(real))].sum()
+        ri, ci = linear_sum_assignment(cost)
+        np.testing.assert_allclose(
+            ours, cost[ri, ci].sum(), rtol=1e-4, atol=1e-3
+        )
