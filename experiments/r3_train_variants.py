@@ -92,6 +92,17 @@ for v in (sys.argv[1:] or ["fp32"]):
         batch["gt_boxes"] = jnp.asarray(
             np.clip(rng.uniform(0.2, 0.6, (B, G, 4)), 0.05, 0.95), jnp.float32)
         batch["gt_valid"] = jnp.asarray(rng.rand(B, G) < 0.8)
+    elif v == "nomatch":
+        # matching-free ablation: residual matcher cost = fp32 - this
+        import relation_detr_tpu.losses.criterion as crit
+        orig_cm = crit.compute_matching
+        def dummy_match(cfg, lg, bx, lb, tb, tv, row_group=None):
+            g = lb.shape[1]
+            idx = jnp.arange(g, dtype=jnp.int32)[None, :] % lg.shape[1]
+            return jnp.where(tv, idx, -1)
+        crit.compute_matching = dummy_match
+        timed("fp32 matching-free ablation")
+        crit.compute_matching = orig_cm
     elif v.startswith("unroll"):
         from relation_detr_tpu.ops.hungarian import set_hungarian_unroll
         n = int(v[len("unroll"):])
