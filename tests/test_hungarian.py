@@ -108,3 +108,50 @@ def test_nan_cost_terminates_and_is_discardable():
     half = jnp.where(jnp.arange(6)[None, :] < 3, jnp.nan, 1.0) * jnp.ones((4, 1))
     out = hungarian_assignment(half.astype(jnp.float32), jnp.ones((4,), bool))
     assert out.shape == (4,)
+
+
+def test_serial_iteration_scaling():
+    """Perf-property regression: the fused solver's while-loop trip count (the
+    quantity that maps to TPU serial-window latency) must scale with REAL rows,
+    not padded capacity, and grouped tiled duplicates must collapse to ~1
+    iteration per row (PERF.md round 3c)."""
+    import jax.lax as lax
+    from relation_detr_tpu.ops import hungarian as hung
+
+    counts = []
+    orig = lax.while_loop
+
+    def counting(cond, body, init):
+        c = init
+        n = 0
+        while bool(cond(c)):
+            c = body(c)
+            n += 1
+        counts.append(n)
+        return c
+
+    rng = np.random.RandomState(0)
+    lax.while_loop = counting
+    try:
+        # capacity independence: 7 real rows in a 100-row buffer
+        cost = rng.randn(100, 900).astype(np.float32)
+        mask = np.zeros(100, bool)
+        mask[:7] = True
+        counts.clear()
+        hung.hungarian_assignment(jnp.asarray(cost), jnp.asarray(mask))
+        assert sum(counts) <= 12, counts  # ~1/row + slack
+
+        # grouped tiled duplicates: 6 copies of 7 rows -> ~1 iter/real row
+        base = rng.randn(20, 1500).astype(np.float32)
+        cost = np.tile(base, (6, 1))
+        mask = np.zeros(20, bool)
+        mask[:7] = True
+        mask = np.tile(mask, 6)
+        group = np.tile(np.arange(20, dtype=np.int32), 6)
+        counts.clear()
+        hung.hungarian_assignment(
+            jnp.asarray(cost), jnp.asarray(mask), jnp.asarray(group)
+        )
+        assert sum(counts) <= 70, counts  # 42 real rows + collision slack
+    finally:
+        lax.while_loop = orig
