@@ -95,6 +95,21 @@ def extra_variants(v):
         timed("auto m0 tile(5,8)", tiled_margin=0, tiled_tile_tokens=(5,8))
     elif v == "auto_m0_t88":
         timed("auto m0 tile(8,8)", tiled_margin=0, tiled_tile_tokens=(8,8))
+    # round-3d probes: post-separable-build the A einsum operand is the
+    # dominant encoder HBM traffic (~780 MB/layer) and its (pw, T) minor
+    # dims pad to (24, 128) sublane/lane tiles (~1.9x waste at T=80).
+    elif v == "bf16A":
+        timed("separable A + patch einsum in bf16", tiled_dtype=jnp.bfloat16)
+    elif v == "t168":
+        timed("tile(16,8): T=128 lane-exact A", tiled_tile_tokens=(16, 8))
+    elif v == "t168_bf16A":
+        timed("tile(16,8) + bf16 A", tiled_tile_tokens=(16, 8),
+              tiled_dtype=jnp.bfloat16)
+    elif v == "sepk":
+        timed("fused separable-A Pallas kernel", tiled_sep_kernel=True)
+    elif v == "sepk_t168":
+        timed("fused sep kernel + tile(16,8)", tiled_sep_kernel=True,
+              tiled_tile_tokens=(16, 8))
     else:
         return False
     return True

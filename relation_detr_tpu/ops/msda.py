@@ -82,6 +82,10 @@ _MSDA_DEFAULTS = {
     # tiled prep layout: "t_minor" transposes T to the minor dim;
     # "t_major" keeps the take's natural order with no transposes
     "tiled_layout": "t_minor",
+    # fuse the separable A-build into a Pallas VMEM kernel (A never hits
+    # HBM; ops/msda_sep_pallas.py) instead of the XLA einsum whose A
+    # operand is ~780 MB/layer of HBM traffic
+    "tiled_sep_kernel": False,
 }
 
 
@@ -89,7 +93,10 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_halos=None, tiled_tile_tokens=None,
                       tiled_margin=None, dense_level_rows=None,
                       tiled_layout=None, decoder_prepack=None,
-                      tiled_overflow=None, tiled_patch_mode=None):
+                      tiled_overflow=None, tiled_patch_mode=None,
+                      tiled_sep_kernel=None):
+    if tiled_sep_kernel is not None:
+        _MSDA_DEFAULTS["tiled_sep_kernel"] = bool(tiled_sep_kernel)
     if tiled_patch_mode is not None:
         _MSDA_DEFAULTS["tiled_patch_mode"] = tiled_patch_mode
     if decoder_prepack is not None:
@@ -128,6 +135,12 @@ def apply_msda_cli_flags(args) -> None:
             tiled_halos="auto" if args.msda_halos == "auto"
             else tuple(int(v) for v in args.msda_halos.split(","))
         )
+    if getattr(args, "msda_dtype", None):
+        set_msda_defaults(
+            tiled_dtype={"fp32": jnp.float32, "bf16": jnp.bfloat16}[
+                args.msda_dtype
+            ]
+        )
 
 
 @contextlib.contextmanager
@@ -135,12 +148,12 @@ def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
                   dense_level_rows=None, tiled_layout=None,
                   decoder_prepack=None, tiled_overflow=None,
-                  tiled_patch_mode=None):
+                  tiled_patch_mode=None, tiled_sep_kernel=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
                       tiled_layout, decoder_prepack, tiled_overflow,
-                      tiled_patch_mode)
+                      tiled_patch_mode, tiled_sep_kernel)
     try:
         yield
     finally:
@@ -818,17 +831,34 @@ def _msda_tiled(
 
             oy = axis_soft(y0i, fy, by, ph, h, y_iota, attn)
             ox = axis_soft(x0i, fx, bx, pw, w, x_iota, None)
-            # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products, fused
-            # into the MXU contraction; custom VJP keeps the backward at
-            # A-sized einsums (see _sep_contract)
-            contrib = _sep_contract(
-                oy.astype(tiled_dtype),
-                ox.astype(tiled_dtype),
-                patch.astype(tiled_dtype).reshape(
-                    bs, nt, ph, pw, num_heads, head_dim
-                ),
-            )
-            out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
+            if _MSDA_DEFAULTS.get("tiled_sep_kernel"):
+                # fused VMEM kernel: A never materializes in HBM
+                from relation_detr_tpu.ops.msda_sep_pallas import (
+                    sep_contract_fused,
+                )
+
+                contrib = sep_contract_fused(
+                    oy.astype(tiled_dtype),
+                    ox.astype(tiled_dtype),
+                    patch.astype(tiled_dtype).reshape(
+                        bs, nt, ph * pw, num_heads * head_dim
+                    ),
+                )
+                out = out + contrib.reshape(
+                    bs, nt, T, num_heads, head_dim
+                )
+            else:
+                # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products,
+                # fused into the MXU contraction; custom VJP keeps the
+                # backward at A-sized einsums (see _sep_contract)
+                contrib = _sep_contract(
+                    oy.astype(tiled_dtype),
+                    ox.astype(tiled_dtype),
+                    patch.astype(tiled_dtype).reshape(
+                        bs, nt, ph, pw, num_heads, head_dim
+                    ),
+                )
+                out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
         if residual is not None:
             out = out + residual
 

@@ -53,6 +53,11 @@ def parse_args():
                         "level, exact at the reference offset init); the "
                         "checkpoint's clamp fraction is measured and logged "
                         "at load time")
+    p.add_argument("--msda-dtype", default=None, choices=("fp32", "bf16"),
+                   help="dtype of the tiled MSDA A-matrix/patch contraction "
+                        "(default fp32 = exact vs the grid_sample oracle; "
+                        "bf16 trades sampling precision for ~7%% eval "
+                        "throughput — PERF.md round 3d)")
     p.add_argument("--clamp-check", default="auto", choices=("auto", "on", "off"),
                    help="measure the checkpoint's tiled-MSDA clamp fraction "
                         "on the first batch at load time (auto = when the "

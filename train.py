@@ -72,6 +72,11 @@ def parse_args():
                         "(e.g. 4,3,2,2 = measured fast profile) or 'auto' "
                         "(default: num_points+1 per level, exact at the "
                         "reference offset init)")
+    p.add_argument("--msda-dtype", default=None, choices=("fp32", "bf16"),
+                   help="dtype of the tiled MSDA A-matrix/patch contraction "
+                        "(default fp32 = exact vs the grid_sample oracle; "
+                        "bf16 trades sampling precision for ~7%% eval "
+                        "throughput — PERF.md round 3d)")
     return p.parse_args()
 
 
