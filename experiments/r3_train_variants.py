@@ -103,6 +103,11 @@ for v in (sys.argv[1:] or ["fp32"]):
         crit.compute_matching = dummy_match
         timed("fp32 matching-free ablation")
         crit.compute_matching = orig_cm
+    elif v == "msda_bf16":
+        # targeted bf16: only the tiled A/patch contraction (+ its custom-VJP
+        # backward einsums) run in bf16; model stays fp32 (round 3d)
+        timed("fp32 model + bf16 MSDA contraction",
+              msda={"tiled_dtype": jnp.bfloat16})
     elif v.startswith("unroll"):
         from relation_detr_tpu.ops.hungarian import set_hungarian_unroll
         n = int(v[len("unroll"):])

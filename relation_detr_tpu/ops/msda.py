@@ -476,7 +476,9 @@ def _sep_contract_bwd(res, g):
     d_patch = jnp.einsum(
         "bnhyxt,bnhtd->bnyxhd", a, g, preferred_element_type=jnp.float32
     )
-    return d_oy, d_ox, d_patch
+    # cotangent dtypes must match the primals (bf16 under --msda-dtype bf16)
+    return (d_oy.astype(oy.dtype), d_ox.astype(ox.dtype),
+            d_patch.astype(patch.dtype))
 
 
 _sep_contract.defvjp(_sep_contract_fwd, _sep_contract_bwd)

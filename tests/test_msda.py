@@ -477,6 +477,30 @@ def test_msda_sep_kernel_matches_xla_separable():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_msda_tiled_bf16_grads_finite():
+    """--msda-dtype bf16 must differentiate: _sep_contract's custom backward
+    returns cotangents in the primal dtype (bf16), close to the fp32 grads."""
+    from relation_detr_tpu.ops.msda import msda_defaults
+
+    value, shapes, locs, attn = make_encoder_inputs(9, bs=1, num_heads=2)
+    args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+
+    def loss(v, l, a):
+        return jnp.sum(
+            multi_scale_deformable_attention(v, shapes, l, a, impl="tiled_xla")
+            ** 2
+        )
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    with msda_defaults(tiled_dtype=jnp.bfloat16):
+        g_bf16 = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g_ref, g_bf16):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.isfinite(b).all()
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(b / scale, a / scale, atol=0.05)
+
+
 def test_msda_sep_kernel_matches_torch_oracle():
     """Fused kernel vs the torch grid_sample oracle in the exactness regime
     (offsets within the halo) — same bar as the XLA tiled path."""
