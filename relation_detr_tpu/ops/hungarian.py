@@ -12,27 +12,28 @@ shortest-augmenting-path per row, dual updates keep reduced costs
 non-negative) — the same family scipy implements, so assignments agree with
 the reference up to cost ties.
 
-Performance shape (TPU): the solver's on-device cost is while-loop ITERATION
-LATENCY (~90 us per serial window through the relay-attached core), not
-arithmetic — the vector work per iteration is a few passes over a <=2k-wide
-row. The previous structure (lax.scan over rows, each row running a Dijkstra
-while_loop plus a backtrack while_loop under a validity lax.cond) paid ~4-5
-sequential windows per PADDED row capacity (~57 ms of a 341 ms train step at
-flagship scale: 20-row main sets + the hybrid branch's 120 tiled rows).
+Two formulations, selected by ``method`` / ``set_hungarian_method``:
 
-This implementation fuses the entire solve into ONE ``lax.while_loop`` whose
-body is a single fused window:
+- ``"scan"`` (DEFAULT): ``lax.scan`` over padded row capacity; each row runs
+  a Dijkstra ``while_loop`` plus a backtrack ``while_loop`` under a validity
+  ``lax.cond``. With the row-minima warm start most rows' Dijkstra pass pops
+  a zero-reduced free column on its first iteration.
+- ``"fused"``: the entire solve as ONE ``lax.while_loop`` whose body fuses
+  one Dijkstra relaxation + (on termination) the dual update + the first
+  backtrack step + next-active-row advance; padded rows are skipped via a
+  precomputed table, and ``row_group`` collapses the hybrid branch's tiled
+  duplicate rows to ~1 iteration per REAL row. CPU-counted serial windows
+  drop ~10x vs scan (PERF.md round 3c).
 
-- one Dijkstra relaxation step per iteration;
-- when the step terminates (minimum-distance column is free), the dual
-  update AND the first backtrack step are applied in the SAME iteration —
-  with the row-minima warm start most rows' augmenting path has length 1,
-  so a typical row costs exactly one iteration;
-- longer paths continue in a backtrack phase (one column swap/iteration);
-- padded rows are skipped entirely via a precomputed next-active-row table,
-  so runtime scales with the number of REAL ground truths, not the padded
-  capacity (the hybrid branch's 120-row buffer with ~40 real rows runs ~40
-  iterations, not 120 scan steps).
+MEASURED VERDICT (round 3d, flagship train step B=1 800x1344 on TPU v5e):
+scan wins at BOTH capacities — 331.5 ms vs fused 390.1 at G=20 cap, and
+363.1 ms vs fused 372.4 at the real loader capacity (MAX_GT=100, 600-row
+hybrid buffer). The window-count model behind the fusion was wrong on
+hardware: XLA pipelines the scan's short whiles across the vmapped
+(batch x set) lanes well, while the fused body's full-matrix relaxation per
+iteration costs more than the windows it saves. ``"scan"`` is therefore the
+default; ``"fused"`` is kept as the measured-negative-result alternative
+(both are exactness-tested against scipy).
 """
 from __future__ import annotations
 
@@ -43,18 +44,191 @@ import jax.numpy as jnp
 
 _INF = jnp.float32(1e30)
 
+_METHOD = "scan"
+
 # Steps of the fused solver body executed per while_loop trip. Each trip pays
 # one serial loop-window latency on TPU; unrolling trades window count for a
-# longer fused body, which wins iff per-iteration overhead (not the ~1.5k-wide
-# vector math) dominates. Tuned on TPU via set_hungarian_unroll; exactness is
-# unaffected (completed lanes pass through unrolled sub-steps unchanged).
+# longer fused body. Exactness is unaffected (completed lanes pass through
+# unrolled sub-steps unchanged). Applies to method="fused" only.
 _UNROLL = 1
+
+
+def set_hungarian_method(method: str) -> None:
+    global _METHOD
+    assert method in ("scan", "fused")
+    _METHOD = method
 
 
 def set_hungarian_unroll(n: int) -> None:
     global _UNROLL
     assert n >= 1
     _UNROLL = n
+
+
+def hungarian_assignment(
+    cost: jnp.ndarray,
+    row_mask: jnp.ndarray,
+    row_group: jnp.ndarray | None = None,
+    method: str | None = None,
+) -> jnp.ndarray:
+    """Solve min-cost assignment of rows (GTs) to columns (queries).
+
+    Args:
+      cost: (R, M) cost matrix, R <= M. Padded rows may hold arbitrary finite
+        values; they are skipped entirely.
+      row_mask: (R,) bool, True for real rows.
+      row_group: optional (R,) int32. Rows sharing a group id MUST have
+        bitwise-identical cost rows (the hybrid branch's 6x tiled targets,
+        /root/reference/models/matcher/hungarian_matcher.py:83-91). Used by
+        method="fused" to pop all same-group-owned columns in one iteration;
+        ignored (harmlessly) by method="scan".
+      method: "scan" | "fused"; default is the module setting (see
+        set_hungarian_method; "scan" unless overridden).
+
+    Returns:
+      (R,) int32: assigned column per row (valid only where ``row_mask``;
+      padded rows return -1).
+    """
+    cost = cost.astype(jnp.float32)
+    # non-finite costs (e.g. a NaN forward before the train step's
+    # non-finite skip engages) must not stall the solver: clamp them to a
+    # large finite value so every while_loop still terminates; the resulting
+    # assignment is garbage but the step's loss is non-finite anyway, so the
+    # skip logic discards it (scipy raises here; an on-device solver cannot).
+    cost = jnp.where(jnp.isfinite(cost), jnp.clip(cost, -_INF, _INF), _INF)
+
+    # Row-dual warm start: u = per-row minima, v = 0. Feasible (reduced =
+    # cost - rowmin >= 0), the matching starts EMPTY (trivially extreme),
+    # and — critically — every free column keeps v = 0: the Dijkstra stop
+    # rule "first free column at minimum distance" equals the true minimum
+    # matching-cost change ONLY when all free columns share the same v
+    # (dist(j) = dcost - u[row] - v[j]). Two warm starts that violate
+    # invariants were caught by the scipy stress test and must NOT come
+    # back: (a) LAPJV-style column-reduction pre-assignment (partial
+    # matching is not extreme), (b) v = column minima (free columns with
+    # unequal v skew the stop rule). With u warmed, most rows' first
+    # Dijkstra step pops a zero-reduced free column.
+    u0 = jnp.min(cost, axis=1)  # (R,)
+    u0 = jnp.where(row_mask & jnp.isfinite(u0), u0, 0.0)
+
+    if (method or _METHOD) == "fused":
+        return _assignment_fused(cost, row_mask, row_group, u0)
+    return _assignment_scan(cost, row_mask, u0)
+
+
+# --------------------------------------------------------------------------
+# method="scan": lax.scan over rows, per-row Dijkstra + backtrack whiles
+# --------------------------------------------------------------------------
+
+
+class _SolverState(NamedTuple):
+    u: jnp.ndarray  # (R,) row duals
+    v: jnp.ndarray  # (M,) col duals
+    row4col: jnp.ndarray  # (M,) assigned row per column, -1 if free
+    col4row: jnp.ndarray  # (R,) assigned column per row, -1 if free
+
+
+def _augment_row(state: _SolverState, cost, cur_row: jnp.ndarray,
+                 num_rows: int, num_cols: int):
+    """Find a shortest augmenting path from ``cur_row`` and apply it."""
+    u, v, row4col, col4row = state
+
+    def dijkstra_cond(carry):
+        sink = carry[0]
+        return sink < 0
+
+    def dijkstra_body(carry):
+        _, i, min_val, spc, path, sc, sr = carry
+        sr = sr.at[i].set(True)
+        reduced = min_val + cost[i] - u[i] - v
+        better = (~sc) & (reduced < spc)
+        spc = jnp.where(better, reduced, spc)
+        path = jnp.where(better, i, path)
+
+        masked = jnp.where(sc, _INF, spc)
+        lowest = jnp.min(masked)
+        at_min = masked == lowest
+        at_min_free = at_min & (row4col < 0)
+        any_free = jnp.any(at_min_free)
+        j = jnp.where(any_free, jnp.argmax(at_min_free), jnp.argmax(at_min))
+        sc = sc.at[j].set(True)
+
+        col_free = row4col[j] < 0
+        sink = jnp.where(col_free, j, -1)
+        i_next = jnp.where(col_free, i, row4col[j])
+        return (sink, i_next, lowest, spc, path, sc, sr)
+
+    init = (
+        jnp.int32(-1),
+        cur_row,
+        jnp.float32(0.0),
+        jnp.full((num_cols,), _INF, jnp.float32),
+        jnp.full((num_cols,), -1, jnp.int32),
+        jnp.zeros((num_cols,), bool),
+        jnp.zeros((num_rows,), bool),
+    )
+    sink, _, min_val, spc, path, sc, sr = jax.lax.while_loop(
+        dijkstra_cond, dijkstra_body, init
+    )
+
+    # Dual updates (Crouse 2016, as in scipy's _lsap).
+    u = u.at[cur_row].add(min_val)
+    other_sr = sr & (jnp.arange(num_rows) != cur_row)
+    spc_at_col4row = spc[jnp.clip(col4row, 0, num_cols - 1)]
+    u = u + jnp.where(other_sr, min_val - spc_at_col4row, 0.0)
+    v = v - jnp.where(sc, min_val - spc, 0.0)
+
+    # Backtrack the augmenting path. A broken path entry (-1) terminates the
+    # loop instead of cycling: with non-finite costs the Dijkstra pass never
+    # relaxes any column, `path` stays -1, and an unguarded backtrack
+    # while_loop would spin forever ON DEVICE (one NaN batch would hang the
+    # whole training job rather than reach the non-finite skip logic).
+    def aug_cond(carry):
+        done = carry[3]
+        return ~done
+
+    def aug_body(carry):
+        j, r4c, c4r, _ = carry
+        i = path[j]
+        r4c = r4c.at[j].set(i)
+        j_next = c4r[jnp.maximum(i, 0)]
+        c4r = c4r.at[jnp.maximum(i, 0)].set(jnp.where(i < 0, c4r[0], j))
+        return (j_next, r4c, c4r, (i == cur_row) | (i < 0))
+
+    _, row4col, col4row, _ = jax.lax.while_loop(
+        aug_cond, aug_body, (sink, row4col, col4row, jnp.bool_(False))
+    )
+    return _SolverState(u, v, row4col, col4row)
+
+
+def _assignment_scan(cost, row_mask, u0):
+    num_rows, num_cols = cost.shape
+
+    def scan_body(state, cur_row):
+        new_state = jax.lax.cond(
+            row_mask[cur_row],
+            lambda s: _augment_row(s, cost, cur_row, num_rows, num_cols),
+            lambda s: s,
+            state,
+        )
+        return new_state, None
+
+    init = _SolverState(
+        u=u0,
+        v=jnp.zeros((num_cols,), jnp.float32),
+        row4col=jnp.full((num_cols,), -1, jnp.int32),
+        col4row=jnp.full((num_rows,), -1, jnp.int32),
+    )
+    final, _ = jax.lax.scan(
+        scan_body, init, jnp.arange(num_rows, dtype=jnp.int32)
+    )
+    return jnp.where(row_mask, final.col4row, -1)
+
+
+# --------------------------------------------------------------------------
+# method="fused": ONE while_loop; Dijkstra step + dual update + backtrack
+# step + row advance fused into a single body (PERF.md round 3c/3d)
+# --------------------------------------------------------------------------
 
 
 class _Carry(NamedTuple):
@@ -74,57 +248,21 @@ class _Carry(NamedTuple):
     bt_j: jnp.ndarray  # () int32 — backtrack cursor (backtrack phase only)
 
 
-def hungarian_assignment(
-    cost: jnp.ndarray,
-    row_mask: jnp.ndarray,
-    row_group: jnp.ndarray | None = None,
-) -> jnp.ndarray:
-    """Solve min-cost assignment of rows (GTs) to columns (queries).
+def _assignment_fused(cost, row_mask, row_group, u0):
+    """One fused while_loop per solve.
 
-    Args:
-      cost: (R, M) cost matrix, R <= M. Padded rows may hold arbitrary finite
-        values; they are skipped entirely.
-      row_mask: (R,) bool, True for real rows.
-      row_group: optional (R,) int32. Rows sharing a group id MUST have
-        bitwise-identical cost rows (the hybrid branch's 6x tiled targets,
-        /root/reference/models/matcher/hungarian_matcher.py:83-91). Dijkstra
-        relaxation through a same-group row is then provably a no-op
-        (matched edges have reduced cost 0 and identical rows share cost
-        entries, so every path through the matched edge ties the direct
-        distance — strict-< relaxation never fires), which licenses popping
-        ALL same-group-owned columns below the stop distance in a single
-        iteration. Copy c of a tiled GT walks c columns owned by its earlier
-        copies; grouping collapses that walk to one iteration (measured:
-        42-real-row hybrid solve 147 -> ~49 iterations). Default (None) is
-        one group per row — exactly the ungrouped algorithm.
-
-    Returns:
-      (R,) int32: assigned column per row (valid only where ``row_mask``;
-      padded rows return -1).
+    ``row_group``: rows sharing a group id MUST have bitwise-identical cost
+    rows. Dijkstra relaxation through a same-group row is then provably a
+    no-op (matched edges have reduced cost 0 and identical rows share cost
+    entries, so every path through the matched edge ties the direct distance
+    — strict-< relaxation never fires), which licenses popping ALL
+    same-group-owned columns below the stop distance in a single iteration.
+    Copy c of a tiled GT walks c columns owned by its earlier copies;
+    grouping collapses that walk to one iteration (CPU-counted: 42-real-row
+    hybrid solve 147 -> ~49 iterations). Default (None) is one group per
+    row — exactly the ungrouped algorithm.
     """
     num_rows, num_cols = cost.shape
-    cost = cost.astype(jnp.float32)
-    # non-finite costs (e.g. a NaN forward before the train step's
-    # non-finite skip engages) must not stall the solver: clamp them to a
-    # large finite value so the while_loop still terminates; the resulting
-    # assignment is garbage but the step's loss is non-finite anyway, so the
-    # skip logic discards it (scipy raises here; an on-device solver cannot).
-    cost = jnp.where(jnp.isfinite(cost), jnp.clip(cost, -_INF, _INF), _INF)
-
-    # Row-dual warm start: u = per-row minima, v = 0. Feasible (reduced =
-    # cost - rowmin >= 0), the matching starts EMPTY (trivially extreme),
-    # and — critically — every free column keeps v = 0: the Dijkstra stop
-    # rule "first free column at minimum distance" equals the true minimum
-    # matching-cost change ONLY when all free columns share the same v
-    # (dist(j) = dcost - u[row] - v[j]). Two warm starts that violate
-    # invariants were caught by the scipy stress test and must NOT come
-    # back: (a) LAPJV-style column-reduction pre-assignment (partial
-    # matching is not extreme), (b) v = column minima (free columns with
-    # unequal v skew the stop rule). With u warmed, most rows' first
-    # Dijkstra step pops a zero-reduced free column, so the fused loop
-    # finishes the row in ONE iteration.
-    u0 = jnp.min(cost, axis=1)  # (R,)
-    u0 = jnp.where(row_mask & jnp.isfinite(u0), u0, 0.0)
 
     # next_active[r] = smallest active row >= r, else num_rows (suffix min).
     ridx = jnp.arange(num_rows, dtype=jnp.int32)
@@ -178,10 +316,10 @@ def hungarian_assignment(
 
         # Pop: stop candidates are unscanned columns that are free or owned
         # by another group (relaxing a same-group owner is a no-op, see the
-        # row_group docstring). All same-group-owned columns at distance
-        # <= the stop distance are popped in this same iteration — exactly
-        # the set a sequential Dijkstra would pop before stopping (ties at
-        # the stop distance scan with zero u/v effect).
+        # docstring). All same-group-owned columns at distance <= the stop
+        # distance are popped in this same iteration — exactly the set a
+        # sequential Dijkstra would pop before stopping (ties at the stop
+        # distance scan with zero u/v effect).
         assigned = c.row4col >= 0
         own_grp = row_group[jnp.clip(c.row4col, 0, num_rows - 1)]
         same = assigned & (own_grp == row_group[c.cur_row])
@@ -222,18 +360,17 @@ def hungarian_assignment(
         i2 = jnp.where(is_dij, i_next, c.i)
 
         # ---- one backtrack step: inline right after `found`, or continuing.
-        # A broken path entry (-1) terminates the row instead of cycling:
-        # with non-finite costs the Dijkstra pass never relaxes any column,
-        # `path` stays -1, and an unguarded backtrack would spin forever ON
-        # DEVICE (one NaN batch would hang the whole training job rather
-        # than reach the non-finite skip logic).
+        # A broken path entry (-1) terminates the row instead of cycling
+        # (non-finite-cost regression; see _augment_row's backtrack note).
         do_bt = found | c.in_backtrack
         j0 = jnp.where(c.in_backtrack, c.bt_j, j)
         bi = path2[j0]  # predecessor row, -1 if broken
         r4c1 = jnp.where(do_bt, c.row4col.at[j0].set(bi), c.row4col)
         bi_safe = jnp.maximum(bi, 0)
         j_next = c.col4row[bi_safe]
-        c4r_new = c.col4row.at[bi_safe].set(jnp.where(bi < 0, c.col4row[0], j0))
+        c4r_new = c.col4row.at[bi_safe].set(
+            jnp.where(bi < 0, c.col4row[0], j0)
+        )
         c4r1 = jnp.where(do_bt, c4r_new, c.col4row)
         bt_term = (bi == c.cur_row) | (bi < 0)
 

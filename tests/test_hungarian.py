@@ -8,14 +8,16 @@ import jax.numpy as jnp
 from relation_detr_tpu.ops.hungarian import hungarian_assignment
 
 
+@pytest.mark.parametrize("method", ["scan", "fused"])
 @pytest.mark.parametrize("seed", range(6))
 @pytest.mark.parametrize("shape", [(5, 12), (1, 4), (16, 16), (30, 100)])
-def test_matches_scipy_optimal_cost(seed, shape):
+def test_matches_scipy_optimal_cost(seed, shape, method):
     rng = np.random.RandomState(seed)
     n, m = shape
     cost = rng.randn(n, m).astype(np.float32) * 10
     col4row = np.asarray(
-        hungarian_assignment(jnp.asarray(cost), jnp.ones((n,), bool))
+        hungarian_assignment(jnp.asarray(cost), jnp.ones((n,), bool),
+                             method=method)
     )
     # assignment validity
     assert (col4row >= 0).all()
@@ -68,10 +70,10 @@ def test_stress_vs_scipy_tiled_ties_padding():
     validity), heavy integer ties, and random padding — the cases that broke
     past warm-start variants. Contract: optimal total cost == scipy's."""
     rng = np.random.RandomState(7)
-    f = jax.jit(hungarian_assignment)
+    fns = [jax.jit(lambda c, m, meth=meth: hungarian_assignment(
+        c, m, method=meth)) for meth in ("scan", "fused")]
 
-    def check(cost, mask):
-        out = np.asarray(f(jnp.asarray(cost), jnp.asarray(mask)))
+    def assert_optimal(cost, mask, out):
         real = np.where(mask)[0]
         if len(real) == 0:
             assert (out == -1).all()
@@ -83,6 +85,12 @@ def test_stress_vs_scipy_tiled_ties_padding():
         np.testing.assert_allclose(
             cost[real, cols].sum(), cost[real][ri, ci].sum(), rtol=1e-5, atol=1e-4
         )
+
+    def check(cost, mask):
+        # both formulations must reach a scipy-optimal assignment
+        for f in fns:
+            assert_optimal(cost, mask,
+                           np.asarray(f(jnp.asarray(cost), jnp.asarray(mask))))
 
     for _ in range(4):
         base = rng.randn(6, 150).astype(np.float32)
@@ -138,7 +146,8 @@ def test_serial_iteration_scaling():
         mask = np.zeros(100, bool)
         mask[:7] = True
         counts.clear()
-        hung.hungarian_assignment(jnp.asarray(cost), jnp.asarray(mask))
+        hung.hungarian_assignment(jnp.asarray(cost), jnp.asarray(mask),
+                                  method="fused")
         assert sum(counts) <= 12, counts  # ~1/row + slack
 
         # grouped tiled duplicates: 6 copies of 7 rows -> ~1 iter/real row
@@ -150,7 +159,8 @@ def test_serial_iteration_scaling():
         group = np.tile(np.arange(20, dtype=np.int32), 6)
         counts.clear()
         hung.hungarian_assignment(
-            jnp.asarray(cost), jnp.asarray(mask), jnp.asarray(group)
+            jnp.asarray(cost), jnp.asarray(mask), jnp.asarray(group),
+            method="fused",
         )
         assert sum(counts) <= 70, counts  # 42 real rows + collision slack
     finally:
