@@ -102,7 +102,10 @@ def main():
                  "default settings: separable-A tiled-MXU msda, auto halos "
                  "+ margin 1 — zero clamped corners at worst-case init "
                  "offsets across a 6-canvas sweep — decoder prepack, "
-                 "static-slice patches, separable relation bias)",
+                 "static-slice patches, separable relation bias, bf16 "
+                 "A-build on TPU: measured bitwise-equivalent at the dot, "
+                 "since XLA DEFAULT precision rounds f32 MXU operands to "
+                 "bf16 anyway — PERF.md round 3e)",
     }
     print(json.dumps(payload))
 

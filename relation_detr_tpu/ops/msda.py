@@ -43,8 +43,21 @@ import contextlib
 _MSDA_DEFAULTS = {
     "impl": "auto",
     "gather_dtype": jnp.float32,
-    # tiled-kernel tunables: dtype of the A-matrix/patch einsum operands
-    # (fp32 = exact; bf16 measured slower — see PERF.md), and the per-level
+    # tiled-kernel tunables: dtype of the A-matrix/patch einsum operands.
+    # "auto" = bf16 on TPU-class backends, fp32 elsewhere. Rationale
+    # (PERF.md round-3e, measured): XLA's DEFAULT dot precision already
+    # rounds f32 MXU operands to bf16 — explicitly pre-rounding A and the
+    # patch slab is BITWISE IDENTICAL to the fp32 path on hardware — so
+    # "fp32" never bought full-precision products on TPU; it only bought
+    # fp32 HBM traffic for the A operand. Building A in bf16 halves that
+    # traffic (48.4 -> 45.1 ms flagship) and stays in the same
+    # operand-rounding error class (~2x magnitude: the rank-1 A-build's
+    # inputs are rounded too, not just its output). Sampling GEOMETRY
+    # (halo coverage, clamp semantics, zero-padding) is dtype-independent.
+    # CPU resolves to fp32 so golden tests compare bitwise-fp32 math.
+    # Force with --msda-dtype fp32|bf16 (fp32 on TPU = the old default:
+    # fp32-built A, still bf16-rounded at the dot by the MXU).
+    # tiled_halos: the per-level
     # halo radii that bound the exact-sampling region. "auto" = num_points+1
     # per level, which provably covers the reference's radial offset init
     # (radius <= num_points level-texels, ms_deform_attn.py:266-278 —
@@ -55,7 +68,7 @@ _MSDA_DEFAULTS = {
     # radius-4 init offsets across a 6-canvas sweep (margin 0 clamps
     # 0.9-2.1e-3; PERF.md round-3b) and measures 6.4 ms faster than
     # margin 2 on the flagship.
-    "tiled_dtype": jnp.float32,
+    "tiled_dtype": "auto",
     "tiled_halos": "auto",
     "tiled_tile_tokens": (10, 8),
     "tiled_margin": 1,
@@ -86,7 +99,46 @@ _MSDA_DEFAULTS = {
     # HBM; ops/msda_sep_pallas.py) instead of the XLA einsum whose A
     # operand is ~780 MB/layer of HBM traffic
     "tiled_sep_kernel": False,
+    # cast fp32 MXU-dot operands (the A matrix and the patch slab) to bf16
+    # at the einsum boundary, leaving the A-build itself fp32. MEASURED
+    # (PERF.md round-3e, flagship on TPU): bitwise identical to the fp32
+    # path AND the same speed (48.4 vs 49.0 ms) — XLA's DEFAULT dot
+    # precision already rounds f32 operands to bf16 (RTNE, f32 accumulate)
+    # and already places the convert optimally, so the explicit cast is a
+    # no-op in both bits and time. Kept (default off) as the proof harness
+    # for the tiled_dtype="auto" bf16 default above: it demonstrates on
+    # hardware that "fp32" operands never reached the MXU at full
+    # precision. "auto" = on for TPU-class backends.
+    "tiled_dot_bf16": False,
 }
+
+
+def _resolve_tiled_dtype():
+    d = _MSDA_DEFAULTS["tiled_dtype"]
+    if d == "auto":
+        return (
+            jnp.bfloat16
+            if jax.default_backend() in ("tpu", "axon")
+            else jnp.float32
+        )
+    return d
+
+
+def _tiled_dot_bf16_enabled() -> bool:
+    flag = _MSDA_DEFAULTS["tiled_dot_bf16"]
+    if flag == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return bool(flag)
+
+
+def _boundary_cast(*ops):
+    """Cast fp32 MXU-dot operands to bf16 iff tiled_dot_bf16 resolves on."""
+    if _tiled_dot_bf16_enabled():
+        return tuple(
+            o.astype(jnp.bfloat16) if o.dtype == jnp.float32 else o
+            for o in ops
+        )
+    return ops
 
 
 def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
@@ -94,7 +146,11 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_margin=None, dense_level_rows=None,
                       tiled_layout=None, decoder_prepack=None,
                       tiled_overflow=None, tiled_patch_mode=None,
-                      tiled_sep_kernel=None):
+                      tiled_sep_kernel=None, tiled_dot_bf16=None):
+    if tiled_dot_bf16 is not None:
+        _MSDA_DEFAULTS["tiled_dot_bf16"] = (
+            "auto" if tiled_dot_bf16 == "auto" else bool(tiled_dot_bf16)
+        )
     if tiled_sep_kernel is not None:
         _MSDA_DEFAULTS["tiled_sep_kernel"] = bool(tiled_sep_kernel)
     if tiled_patch_mode is not None:
@@ -137,9 +193,11 @@ def apply_msda_cli_flags(args) -> None:
         )
     if getattr(args, "msda_dtype", None):
         set_msda_defaults(
-            tiled_dtype={"fp32": jnp.float32, "bf16": jnp.bfloat16}[
-                args.msda_dtype
-            ]
+            tiled_dtype={
+                "fp32": jnp.float32,
+                "bf16": jnp.bfloat16,
+                "auto": "auto",
+            }[args.msda_dtype]
         )
 
 
@@ -148,12 +206,13 @@ def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   tiled_halos=None, tiled_tile_tokens=None, tiled_margin=None,
                   dense_level_rows=None, tiled_layout=None,
                   decoder_prepack=None, tiled_overflow=None,
-                  tiled_patch_mode=None, tiled_sep_kernel=None):
+                  tiled_patch_mode=None, tiled_sep_kernel=None,
+                  tiled_dot_bf16=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
                       tiled_layout, decoder_prepack, tiled_overflow,
-                      tiled_patch_mode, tiled_sep_kernel)
+                      tiled_patch_mode, tiled_sep_kernel, tiled_dot_bf16)
     try:
         yield
     finally:
@@ -452,6 +511,7 @@ def _sep_contract(oy, ox, patch):
     fused VPU broadcast-reductions of exactly the forward A-build cost.
     """
     a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
+    a, patch = _boundary_cast(a, patch)  # TPU: rounding the MXU does anyway
     return jnp.einsum(
         "bnhyxt,bnyxhd->bnhtd", a, patch, preferred_element_type=jnp.float32
     )
@@ -463,8 +523,10 @@ def _sep_contract_fwd(oy, ox, patch):
 
 def _sep_contract_bwd(res, g):
     oy, ox, patch = res  # g (B,nt,H,T,D)
+    g_c, patch_c = _boundary_cast(g, patch)
     da = jnp.einsum(
-        "bnhtd,bnyxhd->bnhyxt", g, patch, preferred_element_type=jnp.float32
+        "bnhtd,bnyxhd->bnhyxt", g_c, patch_c,
+        preferred_element_type=jnp.float32,
     )  # (B,nt,H,ph,pw,T)
     d_oy = jnp.sum(
         da[:, :, :, None] * ox[..., None, :, :], axis=-2
@@ -473,8 +535,9 @@ def _sep_contract_bwd(res, g):
         da[:, :, :, None] * oy[..., :, None, :], axis=-3
     )  # (B,nt,H,P,pw,T)
     a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
+    a_c, g_c = _boundary_cast(a, g)
     d_patch = jnp.einsum(
-        "bnhyxt,bnhtd->bnyxhd", a, g, preferred_element_type=jnp.float32
+        "bnhyxt,bnhtd->bnyxhd", a_c, g_c, preferred_element_type=jnp.float32
     )
     # cotangent dtypes must match the primals (bf16 under --msda-dtype bf16)
     return (d_oy.astype(oy.dtype), d_ox.astype(ox.dtype),
@@ -552,7 +615,7 @@ def _msda_tiled(
         overflow_k = 0  # residual implemented for the default t_minor layout
     if tile_tokens is None:
         tile_tokens = _MSDA_DEFAULTS["tiled_tile_tokens"]
-    tiled_dtype = _MSDA_DEFAULTS["tiled_dtype"]
+    tiled_dtype = _resolve_tiled_dtype()
     geo = _tile_geometry(
         spatial_shapes, tile_tokens, halos, _MSDA_DEFAULTS["tiled_margin"]
     )
@@ -798,10 +861,11 @@ def _msda_tiled(
                 * (m_all[..., None] == m_iota).astype(tiled_dtype),
                 axis=-2,
             )  # (B,nt,T,H,M)
+            a_mat, patch_c = _boundary_cast(a_mat, patch.astype(tiled_dtype))
             contrib = jnp.einsum(
                 "bnthm,bnmhd->bnthd",
                 a_mat,
-                patch.astype(tiled_dtype),
+                patch_c,
                 preferred_element_type=jnp.float32,
             )
             out = out + contrib
@@ -1140,8 +1204,9 @@ def project_corner_pack_tables(tables, kernel, bias, num_heads: int):
     out = []
     for vm, mval in tables:
         bsz, hw = vm.shape[:2]
+        vm_c, k_c = _boundary_cast(vm, k)
         t = jnp.einsum(
-            "bsfc,chd->bshfd", vm, k, preferred_element_type=jnp.float32
+            "bsfc,chd->bshfd", vm_c, k_c, preferred_element_type=jnp.float32
         )
         t = t + b[None, None, :, None, :] * mval[:, :, None, :, None]
         out.append(t.reshape(bsz, hw, num_heads, 4 * head_dim))

@@ -53,11 +53,14 @@ def parse_args():
                         "level, exact at the reference offset init); the "
                         "checkpoint's clamp fraction is measured and logged "
                         "at load time")
-    p.add_argument("--msda-dtype", default=None, choices=("fp32", "bf16"),
-                   help="dtype of the tiled MSDA A-matrix/patch contraction "
-                        "(default fp32 = exact vs the grid_sample oracle; "
-                        "bf16 trades sampling precision for ~7%% eval "
-                        "throughput — PERF.md round 3d)")
+    p.add_argument("--msda-dtype", default=None,
+                   choices=("auto", "fp32", "bf16"),
+                   help="dtype the tiled MSDA A-matrix/patch contraction is "
+                        "built in (default auto = bf16 on TPU, fp32 on CPU: "
+                        "the MXU rounds f32 dot operands to bf16 anyway — "
+                        "measured bitwise-identical, PERF.md round 3e — so "
+                        "bf16 only halves A traffic; fp32 forces a "
+                        "fp32-built A for calibration)")
     p.add_argument("--clamp-check", default="auto", choices=("auto", "on", "off"),
                    help="measure the checkpoint's tiled-MSDA clamp fraction "
                         "on the first batch at load time (auto = when the "

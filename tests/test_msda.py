@@ -501,6 +501,50 @@ def test_msda_tiled_bf16_grads_finite():
         np.testing.assert_allclose(b / scale, a / scale, atol=0.05)
 
 
+def test_msda_tiled_dot_boundary_bf16():
+    """tiled_dot_bf16 resolves off on CPU (golden tests stay bitwise fp32);
+    forced on, it rounds ONLY the MXU-dot operands — outputs and grads stay
+    within bf16 rounding of fp32, tighter than full tiled_dtype=bf16 (the
+    A-build itself stays fp32). On TPU this cast is a no-op numerically:
+    XLA's DEFAULT dot precision feeds the MXU bf16-rounded operands either
+    way (verified bitwise on hardware, PERF.md round-3e)."""
+    from relation_detr_tpu.ops.msda import (
+        _tiled_dot_bf16_enabled,
+        msda_defaults,
+    )
+
+    assert jax.default_backend() == "cpu" and not _tiled_dot_bf16_enabled()
+    with msda_defaults(tiled_dot_bf16=True):
+        assert _tiled_dot_bf16_enabled()
+    value, shapes, locs, attn = make_encoder_inputs(11, bs=1, num_heads=2)
+    args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+
+    def loss(v, l, a):
+        return jnp.sum(
+            multi_scale_deformable_attention(v, shapes, l, a, impl="tiled_xla")
+            ** 2
+        )
+
+    out_ref = multi_scale_deformable_attention(
+        args[0], shapes, args[1], args[2], impl="tiled_xla"
+    )
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    with msda_defaults(tiled_dot_bf16=True):
+        out_b = multi_scale_deformable_attention(
+            args[0], shapes, args[1], args[2], impl="tiled_xla"
+        )
+        g_b = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    scale = np.abs(np.asarray(out_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(out_b) / scale, np.asarray(out_ref) / scale, atol=2e-2
+    )
+    for a, b in zip(g_ref, g_b):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.isfinite(b).all()
+        s = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(b / s, a / s, atol=2e-2)
+
+
 def test_msda_sep_kernel_matches_torch_oracle():
     """Fused kernel vs the torch grid_sample oracle in the exactness regime
     (offsets within the halo) — same bar as the XLA tiled path."""

@@ -72,11 +72,14 @@ def parse_args():
                         "(e.g. 4,3,2,2 = measured fast profile) or 'auto' "
                         "(default: num_points+1 per level, exact at the "
                         "reference offset init)")
-    p.add_argument("--msda-dtype", default=None, choices=("fp32", "bf16"),
-                   help="dtype of the tiled MSDA A-matrix/patch contraction "
-                        "(default fp32 = exact vs the grid_sample oracle; "
-                        "bf16 trades sampling precision for ~7%% eval "
-                        "throughput — PERF.md round 3d)")
+    p.add_argument("--msda-dtype", default=None,
+                   choices=("auto", "fp32", "bf16"),
+                   help="dtype the tiled MSDA A-matrix/patch contraction is "
+                        "built in (default auto = bf16 on TPU, fp32 on CPU: "
+                        "the MXU rounds f32 dot operands to bf16 anyway — "
+                        "measured bitwise-identical, PERF.md round 3e — so "
+                        "bf16 only halves A traffic; fp32 forces a "
+                        "fp32-built A for calibration)")
     return p.parse_args()
 
 
