@@ -486,12 +486,17 @@ def _slice_patches_bwd(y0x0, ph, pw, shape, g):
     # windowed accumulate in a Pallas kernel: lax.scatter_add lowers to a
     # SERIAL while of nt dynamic-update-slices (~30 ms/train-step across
     # the encoder; hlo_stats-profiled), the kernel keeps the canvas in
-    # VMEM and runs at HBM speed (ops/patch_scatter.py)
+    # VMEM and runs at HBM speed (ops/patch_scatter.py). Overlapping
+    # windows ACCUMULATE — do it in f32 even for bf16 slabs (one rounding
+    # at the end, not one per overlapping window).
     from relation_detr_tpu.ops.patch_scatter import window_accumulate
 
     starts = np.asarray(y0x0, np.int32)
-    d = window_accumulate(g, starts[:, 0], starts[:, 1], shape[0], shape[1])
-    return (d,)
+    d = window_accumulate(
+        g.astype(jnp.float32), starts[:, 0], starts[:, 1], shape[0], shape[1]
+    )
+    # slicing preserves dtype, so the primal's dtype == the cotangent's
+    return (d.astype(g.dtype),)
 
 
 _slice_patches.defvjp(_slice_patches_fwd, _slice_patches_bwd)
@@ -654,7 +659,11 @@ def _msda_tiled(
         # one static-index gather of nt contiguous (Ph, Pw, C) slabs
         starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
         if _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices" and bs == 1:
-            vl3 = vl.reshape(h, w, num_heads * head_dim)
+            # cast to the contraction dtype BEFORE extraction: rounding
+            # commutes with slicing, so this is bitwise-identical to the
+            # post-extraction cast while the nt slice windows move half
+            # the bytes and the separate convert/copy passes disappear
+            vl3 = vl.reshape(h, w, num_heads * head_dim).astype(tiled_dtype)
             y0x0 = tuple((int(y0s[i]), int(x0s[i])) for i in range(nt))
             patch = _slice_patches(vl3, y0x0, ph, pw).reshape(
                 1, nt, ph * pw, num_heads, head_dim
