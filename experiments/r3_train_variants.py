@@ -66,6 +66,8 @@ for v in (sys.argv[1:] or ["fp32"]):
         timed("fp32 default (prepack)")
     elif v == "fp32_dots":
         timed("fp32 + remat dots", {"remat_policy": "dots"})
+    elif v == "save_all":
+        timed("remat save_all (no recompute)", {"remat_policy": "save_all"})
     elif v == "bf16_dots":
         timed("bf16 + remat dots",
               {"remat_policy": "dots", "compute_dtype": "bfloat16",

@@ -51,6 +51,10 @@ def resolve_remat_policy(name: Optional[str]):
     policies = {
         "dots": jax.checkpoint_policies.dots_saveable,
         "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        # no recompute at all: every residual is saved. Viable at B=1 only
+        # because the tiled-MSDA custom VJPs shrank the saved set from the
+        # round-1 49G gather residuals to A/patch-sized operands.
+        "save_all": jax.checkpoint_policies.everything_saveable,
     }
     if name not in policies:
         raise ValueError(f"unknown remat policy {name!r}; use none|dots|dots_no_batch")
