@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--show-dir", default=None)
     p.add_argument("--score-threshold", type=float, default=0.5)
+    p.add_argument("--clamp-check", default="auto", choices=("auto", "on", "off"),
+                   help="measure the checkpoint's tiled-MSDA clamp fraction "
+                        "on the first image (logged; warns past the "
+                        "threshold — same guard as test.py/train.py)")
+    p.add_argument("--clamp-threshold", type=float, default=1e-3)
     return p.parse_args()
 
 
@@ -72,6 +77,7 @@ def main():
         f for f in os.listdir(args.image_dir)
         if f.lower().endswith(IMAGE_EXTS)
     )
+    clamp_pending = bool(args.checkpoint) and args.clamp_check != "off"
     for fname in files:
         raw = cv2.imread(os.path.join(args.image_dir, fname))
         rgb = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
@@ -87,6 +93,19 @@ def main():
         mask = np.ones((1, *canvas), bool)
         images[0, :h, :w] = sample["image"]
         mask[0, :h, :w] = False
+        if clamp_pending:
+            # one-time diagnostic on the first real image: log the loaded
+            # checkpoint's tiled-MSDA clamp fraction (same guard as
+            # test.py:175-194 / train.py — silent border-clamping of a
+            # trained checkpoint's offsets is the worst wrongness case)
+            from relation_detr_tpu.utils.clamp_check import check_checkpoint_clamp
+
+            check_checkpoint_clamp(
+                model, variables, jnp.asarray(images), jnp.asarray(mask),
+                threshold=args.clamp_threshold,
+                force=args.clamp_check == "on",
+            )
+            clamp_pending = False
         out = fwd(variables, jnp.asarray(images), jnp.asarray(mask))
         # boxes are valid-region-normalized: scale by original size directly
         oh, ow = rgb.shape[:2]

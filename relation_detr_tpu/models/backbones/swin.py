@@ -33,6 +33,9 @@ ARCH_SETTINGS = {
     "swin_b_384": (128, (2, 2, 18, 2), (4, 8, 16, 32), 12, False),
     "swin_l_384": (192, (2, 2, 18, 2), (6, 12, 24, 48), 12, False),
     "swin_v2_t": (96, (2, 2, 6, 2), (3, 6, 12, 24), 8, True),
+    # swin_v2_s is torchvision's table entry between v2_t and v2_b; the
+    # reference's model_arch stops at v2_t/v2_b but the upstream family has it
+    "swin_v2_s": (96, (2, 2, 18, 2), (3, 6, 12, 24), 8, True),
     "swin_v2_b": (128, (2, 2, 18, 2), (4, 8, 16, 32), 8, True),
 }
 

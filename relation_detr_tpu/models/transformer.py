@@ -44,8 +44,10 @@ def resolve_remat_policy(name: Optional[str]):
 
     "dots" saves matmul outputs (cheap recompute stays, the MXU work and —
     crucially under bf16 — the cast chains feeding dots do not re-run in the
-    backward sweep); "dots_no_batch" is the stricter variant. None/"none"
-    keeps full rematerialization (the fp32 default, lowest memory)."""
+    backward sweep); "dots_no_batch" is the stricter variant; "save_all"
+    disables recompute entirely (every residual saved — B=1-only memory
+    profile). None/"none" keeps full rematerialization (the fp32 default,
+    lowest memory)."""
     if name in (None, "none"):
         return None
     policies = {
@@ -57,7 +59,9 @@ def resolve_remat_policy(name: Optional[str]):
         "save_all": jax.checkpoint_policies.everything_saveable,
     }
     if name not in policies:
-        raise ValueError(f"unknown remat policy {name!r}; use none|dots|dots_no_batch")
+        raise ValueError(
+            f"unknown remat policy {name!r}; use none|" + "|".join(policies)
+        )
     return policies[name]
 
 

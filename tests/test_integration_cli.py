@@ -123,10 +123,13 @@ def test_resume_from_path_with_bf16(synth, train_cfg, tmp_path_factory):
     out2 = tmp_path_factory.mktemp("resume_run")
     r = _run([sys.executable, "train.py", "--config-file", str(cfg),
               "--canvas", "320,320", "--max-steps", "1", "--num-epochs", "2",
-              "--output-dir", str(out2),
+              "--output-dir", str(out2), "--clamp-check", "on",
               "--resume", str(out), "--mixed-precision", "bf16"])
     assert r.returncode == 0, r.stderr[-2000:]
     log = open(os.path.join(out2, "train.log")).read()
     assert "resumed from epoch 0" in log, log[-2000:]
+    # the load-time clamp guard ran on the restored weights before training
+    # (train.py parity with test.py's guard — round-3 verdict item 6)
+    assert "clamp fraction" in log, log[-2000:]
     # the resumed run actually trained (epoch 1) and saved its own state
     assert os.path.exists(os.path.join(out2, "latest.npz"))

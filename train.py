@@ -39,9 +39,18 @@ def parse_args():
     p.add_argument("--num-epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None, help="per-chip batch size")
     p.add_argument("--resume", default=None,
-                   help="resume from a checkpoint directory (the run's own "
-                        "output dir, its checkpoints/ subdir, or any other "
-                        "run's) — reference main.py:160-166 semantics")
+                   help="checkpoint directory = resume training (the run's "
+                        "own output dir, its checkpoints/ subdir, or any "
+                        "other run's); weight FILE (.npz) = load pretrained "
+                        "weights and fine-tune — reference main.py:143-166 "
+                        "semantics")
+    p.add_argument("--clamp-check", default="auto", choices=("auto", "on", "off"),
+                   help="measure the loaded checkpoint's tiled-MSDA clamp "
+                        "fraction on the first batch before training (train"
+                        "ing on clamped halos bakes the clamp into the "
+                        "gradients); errors past --clamp-threshold if "
+                        "--msda-halos was forced")
+    p.add_argument("--clamp-threshold", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--canvas", default="800,1344",
                    help="fixed train canvas 'h,w', or 'buckets' for "
@@ -178,10 +187,22 @@ def main():
     n_params = sum(x.size for x in jax.tree.leaves(variables))
     logger.info(f"model params: {n_params / 1e6:.1f}M")
 
+    resume_from = args.resume or cfg.get("resume_from_checkpoint")
+    loaded_weights = False
+    if resume_from and isinstance(resume_from, str) and os.path.isfile(resume_from):
+        # weight FILE = load pretrained and fine-tune (reference
+        # main.py:143-148: an isfile resume_from goes through
+        # load_state_dict, not accelerator.load_state)
+        from relation_detr_tpu.utils.checkpoint import load_weights
+
+        variables = load_weights(resume_from, dict(variables))
+        logger.info(f"loaded pretrained weights from {resume_from}")
+        loaded_weights = True
+        resume_from = None
+
     state = create_train_state(variables, tx)
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     start_epoch = cfg.get("starting_epoch", 0)
-    resume_from = args.resume or cfg.get("resume_from_checkpoint")
     if resume_from:
         # `--resume PATH` restores from PATH (reference main.py:160-166:
         # resume names any checkpoint dir, not just this run's); a bare
@@ -192,9 +213,29 @@ def main():
             src = CheckpointManager(cand if os.path.isdir(cand) else resume_from)
         state = src.restore(state)
         start_epoch = int(src.latest_epoch()) + 1
+        loaded_weights = True
         logger.info(
             f"resumed from epoch {start_epoch - 1} ({src.directory})"
         )
+
+    if loaded_weights and args.clamp_check != "off":
+        # training on halos that clamp this checkpoint's offsets bakes the
+        # clamp into the gradients — the worst silent-wrongness case, so the
+        # guard covers the train loads too (not just test.py). One captured
+        # forward on the first batch's first image; errors when the user
+        # forced clamping halos (utils/clamp_check.py semantics).
+        from relation_detr_tpu.utils.clamp_check import check_checkpoint_clamp
+
+        first = next(iter(loader), None)
+        if first is not None:
+            check_checkpoint_clamp(
+                model,
+                {"params": state.params, "batch_stats": state.batch_stats},
+                first["images"][:1], first["mask"][:1],
+                threshold=args.clamp_threshold,
+                halos_forced=bool(args.msda_halos) and args.msda_halos != "auto",
+                force=args.clamp_check == "on",
+            )
 
     step_fn = make_train_step(
         model, criterion_cfg, tx, mesh,
