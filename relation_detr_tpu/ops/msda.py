@@ -86,11 +86,10 @@ _MSDA_DEFAULTS = {
     # clamp, never worse than before). "auto" = 0 when halos are "auto"
     # (provably nothing to catch at the offset init) else 8.
     "tiled_overflow": "auto",
-    # patch extraction: "slices" = nt static lax.slice ops (starts are
-    # trace-time constants; bit-exact, measured -3.8 ms on the flagship,
-    # B=1 path only — B>1 falls back to the gather automatically); costs
-    # ~5 min extra compile per canvas, paid once thanks to the persistent
-    # compilation cache. "gather" = one lax.gather of nt slabs.
+    # patch extraction: "slices" = band-grid static lax.slice ops (gy row
+    # bands + gx column windows, starts are trace-time constants; bit-exact,
+    # any batch size; measured -3.8 ms vs gather on the flagship at the old
+    # per-tile form). "gather" = one lax.gather of nt slabs.
     "tiled_patch_mode": "slices",
     # tiled prep layout: "t_minor" transposes T to the minor dim;
     # "t_major" keeps the take's natural order with no transposes
@@ -236,7 +235,8 @@ class _TileGeometry:
     stays fully static under jit.
     """
 
-    __slots__ = ("grid", "ntiles", "T", "perm", "slot_valid", "inv", "patches", "M")
+    __slots__ = ("grid", "ntiles", "T", "perm", "slot_valid", "inv", "patches",
+                 "patch_grid", "M")
 
     def __init__(self, spatial_shapes, tile_tokens, halos, margin=2):
         h0, w0 = spatial_shapes[0]
@@ -280,6 +280,7 @@ class _TileGeometry:
         # per-level patch boxes: uniform (Ph, Pw) per level, per-tile static
         # (y0, x0) clamped to the level interior
         patches = []
+        patch_grid = []
         for lvl, (h, w) in enumerate(spatial_shapes):
             r = halos[min(lvl, len(halos) - 1)]
             th, tw = h / gy, w / gx
@@ -290,7 +291,12 @@ class _TileGeometry:
             y0s = np.repeat(y0, gx).astype(np.int32)
             x0s = np.tile(x0, gy).astype(np.int32)
             patches.append((y0s, x0s, ph, pw))
+            # origins are a separable (row, col) grid by construction —
+            # `_slice_patches` extracts row bands then column windows
+            patch_grid.append((tuple(int(v) for v in y0),
+                               tuple(int(v) for v in x0)))
         self.patches = patches
+        self.patch_grid = patch_grid
         self.M = sum(ph * pw for _, _, ph, pw in patches)
 
 
@@ -461,40 +467,60 @@ def _perm_untile(x, inv, perm, valid, axis=1):
     return f(x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def _slice_patches(vl3, y0x0, ph, pw):
-    """nt static window extractions from one level canvas (B=1 fast path).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _slice_patches(vl, y0u, x0u, ph, pw):
+    """Band-grid window extraction from one level canvas, any batch size.
 
-    vl3 (h, w, C) -> (nt, ph, pw, C); ``y0x0`` is the static tuple of
-    per-tile window origins. Static `lax.slice` starts are ~4 ms faster
-    than the equivalent slab gather on the flagship forward, but the
-    stack-of-slices VJP is nt full-canvas pad+add passes (measured
-    1.34 s/train-step vs 356 ms) — the custom backward below is the
-    windowed scatter-add the gather formulation's VJP lowers to.
+    vl (B, h, w, C) -> (B, nt, ph, pw, C) with nt = len(y0u) * len(x0u) in
+    row-major tile order. Tile origins form a separable (row, col) grid
+    (`_TileGeometry.patch_grid`), so instead of nt per-tile slices — whose
+    tiny per-tile reshape+update chains cost ~1.6 ms/iter of HLO self time
+    plus ~1.5 ms of staging copies on the flagship (round-4 hlo_stats) —
+    extraction is gy row-band slices followed by gx column slices of the
+    stacked bands: ~30 big static slices per level instead of 210.
+    Static `lax.slice` starts remain ~4 ms faster than the equivalent slab
+    gather on the flagship forward; the stack-of-slices VJP is windowed
+    scatter-add (the custom backward below), not nt full-canvas pad+adds
+    (measured 1.34 s/train-step).
     """
-    return jnp.stack([
-        jax.lax.slice(vl3, (y0, x0, 0), (y0 + ph, x0 + pw, vl3.shape[2]))
-        for y0, x0 in y0x0
-    ])
+    bsz, h, w, c = vl.shape
+    gy, gx = len(y0u), len(x0u)
+    rows = jnp.stack(
+        [jax.lax.slice(vl, (0, y0, 0, 0), (bsz, y0 + ph, w, c)) for y0 in y0u],
+        axis=1,
+    )  # (B, gy, ph, w, C)
+    cols = jnp.stack(
+        [
+            jax.lax.slice(rows, (0, 0, 0, x0, 0), (bsz, gy, ph, x0 + pw, c))
+            for x0 in x0u
+        ],
+        axis=2,
+    )  # (B, gy, gx, ph, pw, C)
+    return cols.reshape(bsz, gy * gx, ph, pw, c)
 
 
-def _slice_patches_fwd(vl3, y0x0, ph, pw):
-    return _slice_patches(vl3, y0x0, ph, pw), vl3.shape
+def _slice_patches_fwd(vl, y0u, x0u, ph, pw):
+    return _slice_patches(vl, y0u, x0u, ph, pw), vl.shape
 
 
-def _slice_patches_bwd(y0x0, ph, pw, shape, g):
+def _slice_patches_bwd(y0u, x0u, ph, pw, shape, g):
     # windowed accumulate in a Pallas kernel: lax.scatter_add lowers to a
-    # SERIAL while of nt dynamic-update-slices (~30 ms/train-step across
-    # the encoder; hlo_stats-profiled), the kernel keeps the canvas in
-    # VMEM and runs at HBM speed (ops/patch_scatter.py). Overlapping
-    # windows ACCUMULATE — do it in f32 even for bf16 slabs (one rounding
-    # at the end, not one per overlapping window).
+    # SERIAL while of nt read-modify-write dynamic-update-slices
+    # (~30 ms/train-step across the encoder; hlo_stats-profiled), the
+    # kernel keeps the canvas in VMEM and runs at HBM speed
+    # (ops/patch_scatter.py). Overlapping windows ACCUMULATE — do it in
+    # f32 even for bf16 slabs (one rounding at the end, not one per
+    # overlapping window).
     from relation_detr_tpu.ops.patch_scatter import window_accumulate
 
-    starts = np.asarray(y0x0, np.int32)
-    d = window_accumulate(
-        g.astype(jnp.float32), starts[:, 0], starts[:, 1], shape[0], shape[1]
-    )
+    y0s = np.repeat(np.asarray(y0u, np.int32), len(x0u))
+    x0s = np.tile(np.asarray(x0u, np.int32), len(y0u))
+    d = jnp.stack([
+        window_accumulate(
+            g[b].astype(jnp.float32), y0s, x0s, shape[1], shape[2]
+        )
+        for b in range(g.shape[0])
+    ])
     # slicing preserves dtype, so the primal's dtype == the cotangent's
     return (d.astype(g.dtype),)
 
@@ -658,16 +684,15 @@ def _msda_tiled(
         vl = vl.reshape(bs, h, w, num_heads * head_dim)
         # one static-index gather of nt contiguous (Ph, Pw, C) slabs
         starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
-        if _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices" and bs == 1:
+        if _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices":
             # cast to the contraction dtype BEFORE extraction: rounding
             # commutes with slicing, so this is bitwise-identical to the
-            # post-extraction cast while the nt slice windows move half
+            # post-extraction cast while the slice windows move half
             # the bytes and the separate convert/copy passes disappear
-            vl3 = vl.reshape(h, w, num_heads * head_dim).astype(tiled_dtype)
-            y0x0 = tuple((int(y0s[i]), int(x0s[i])) for i in range(nt))
-            patch = _slice_patches(vl3, y0x0, ph, pw).reshape(
-                1, nt, ph * pw, num_heads, head_dim
-            )
+            y0u, x0u = geo.patch_grid[lvl]
+            patch = _slice_patches(
+                vl.astype(tiled_dtype), y0u, x0u, ph, pw
+            ).reshape(bs, nt, ph * pw, num_heads, head_dim)
         elif bs == 1:
             # transpose-free path: gather straight into (nt, Ph, Pw, C)
             dnums = jax.lax.GatherDimensionNumbers(
