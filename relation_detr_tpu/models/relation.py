@@ -141,6 +141,11 @@ class _PosProj(nn.Module):
 
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and relation_pallas.fused_relation_enabled():
+            if relation_pallas.fused_relation_version() == 4:
+                return relation_pallas.fused_relation_bias_v4(
+                    src_boxes, tgt_boxes, kernel, bias,
+                    self.embed_dim, self.temperature, self.scale, eps,
+                )
             if relation_pallas.fused_relation_version() == 3:
                 return separable_relation_bias(
                     src_boxes, tgt_boxes, kernel, bias,

@@ -33,17 +33,24 @@ def _use_interpret() -> bool:
 
 # benchmark A/B switch: models/relation.py routes through the fused path
 # only when this is on (and the backend is TPU); "version" picks the body
-# (3 = separable per-box wh transcendentals + bilinear MXU mixing in
-# models/relation.py — the default, measured -1.6 ms in-model over v1;
+# (4 = boxes-in/bias-out kernel: xy pair angles built in VMEM, separable
+# wh mixing as in-kernel MXU dots, (B,H,N1,N2) written directly;
+# 3 = separable per-box wh transcendentals + bilinear MXU mixing in
+# models/relation.py — measured -1.6 ms in-model over v1;
 # 1 = per-head VPU Pallas accumulate, 2 = (64,L) feature block + MXU dot)
-_FUSED = {"enabled": True, "version": 3}
+# v4 default: measured 44.1 -> 43.0 ms in-model over v3 (round 4);
+# v4_block 64 exceeds the 16 MB scoped-VMEM limit (21.7M ask) — 32 is max.
+_FUSED = {"enabled": True, "version": 4, "v4_block": 32}
 
 
-def set_fused_relation(enabled: bool = None, version: int = None) -> None:
+def set_fused_relation(enabled: bool = None, version: int = None,
+                       v4_block: int = None) -> None:
     if enabled is not None:
         _FUSED["enabled"] = bool(enabled)
     if version is not None:
         _FUSED["version"] = int(version)
+    if v4_block is not None:
+        _FUSED["v4_block"] = int(v4_block)
 
 
 def fused_relation_enabled() -> bool:
@@ -152,6 +159,146 @@ def _fused_fwd(rel, kernel, bias, embed_dim, temperature, scale):
         interpret=_use_interpret(),
     )(rel_t.astype(jnp.float32), kernel.astype(jnp.float32),
       bias.reshape(1, num_heads).astype(jnp.float32))
+
+
+def _kernel_v4(src_ref, tgtt_ref, a_ref, bt_ref, w_ref, b_ref, out_ref, *,
+               freqs, num_heads, eps):
+    # src_ref: (1, bn1, 4) cxcywh rows for this i-block
+    # tgtt_ref: (1, 2, N2) target centers, coord-major
+    # a_ref: (1, bn1, H*2E) folded per-box wh features (alpha|beta)
+    # bt_ref: (1, 2E, N2) per-box target wh features (cos|sin), transposed
+    # w_ref: (2*2E, H) xy half of the projection kernel; b_ref: (1, H)
+    # out_ref: (1, H, bn1, N2)
+    two_e = bt_ref.shape[1]
+    n2 = tgtt_ref.shape[2]
+    bn1 = src_ref.shape[1]
+    # per-head accumulators start from the separable wh bilinear form:
+    # alpha/beta rows (bn1, 2E) x target features (2E, N2) on the MXU
+    acc = []
+    for h in range(num_heads):
+        a_h = a_ref[0, :, h * two_e:(h + 1) * two_e]  # (bn1, 2E)
+        part_wh = jax.lax.dot_general(
+            a_h, bt_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bn1, N2)
+        acc.append(part_wh + b_ref[0, h])
+    # xy pair angles built in VMEM: rel = log1p(|c1_i - c2_j| / w1_i)
+    for c in range(2):
+        c1 = src_ref[0, :, c].reshape(bn1, 1)
+        w1 = src_ref[0, :, 2 + c].reshape(bn1, 1)
+        c2 = tgtt_ref[0, c, :].reshape(1, n2)
+        rel_c = jnp.log(jnp.abs(c1 - c2) / (w1 + eps) + 1.0)
+        for k, f in enumerate(freqs):
+            ang = rel_c * f
+            s, co = jnp.sin(ang), jnp.cos(ang)
+            row = c * 2 * len(freqs) + 2 * k
+            for h in range(num_heads):
+                acc[h] = acc[h] + s * w_ref[row, h] + co * w_ref[row + 1, h]
+    for h in range(num_heads):
+        out_ref[0, h, :, :] = jnp.maximum(acc[h], 0.0)
+
+
+def _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
+            scale, eps, block_n1=None):
+    if block_n1 is None:
+        block_n1 = int(_FUSED.get("v4_block", 32))
+    b, n1 = src_boxes.shape[:2]
+    n2 = tgt_boxes.shape[1]
+    num_heads = kernel.shape[1]
+    half = embed_dim // 2
+    freqs = tuple(float(f) for f in _freqs(embed_dim, temperature, scale))
+    inv = jnp.asarray(np.asarray(freqs, np.float32))
+
+    # per-box wh features with the projection weights folded in (the same
+    # angle-addition factoring as models/relation.py::separable_relation_bias)
+    wh1, wh2 = src_boxes[..., 2:], tgt_boxes[..., 2:]
+    p = jnp.log(wh1 + eps)[..., None] * inv  # (B, N1, 2, half)
+    q = jnp.log(wh2 + eps)[..., None] * inv  # (B, N2, 2, half)
+    sp, cp = jnp.sin(p), jnp.cos(p)
+    sq, cq = jnp.sin(q), jnp.cos(q)
+    w_wh = kernel[2 * embed_dim:].reshape(2, half, 2, num_heads)
+    ws = jnp.transpose(w_wh[:, :, 0], (2, 0, 1))  # (H, 2, half)
+    wc = jnp.transpose(w_wh[:, :, 1], (2, 0, 1))
+    alpha = sp[..., None, :, :] * ws + cp[..., None, :, :] * wc
+    beta = sp[..., None, :, :] * wc - cp[..., None, :, :] * ws
+    a_feats = jnp.stack([alpha, beta], axis=-1).reshape(
+        b, n1, num_heads * 2 * embed_dim
+    )  # (B, N1, H*2E), per-head rows contiguous
+    b_feats = jnp.stack([cq, sq], axis=-1).reshape(b, n2, 2 * embed_dim)
+    bt = jnp.transpose(b_feats, (0, 2, 1))  # (B, 2E, N2)
+    tgt_t = jnp.transpose(tgt_boxes[..., :2], (0, 2, 1))  # (B, 2, N2)
+
+    body = functools.partial(
+        _kernel_v4, freqs=freqs, num_heads=num_heads, eps=eps
+    )
+    two_e = 2 * embed_dim
+    return pl.pallas_call(
+        body,
+        grid=(b, pl.cdiv(n1, block_n1)),
+        in_specs=[
+            pl.BlockSpec((1, block_n1, 4), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n1, num_heads * two_e),
+                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_e, n2), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * two_e, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, num_heads, block_n1, n2),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, n1, n2), jnp.float32),
+        interpret=_use_interpret(),
+    )(src_boxes.astype(jnp.float32), tgt_t.astype(jnp.float32),
+      a_feats.astype(jnp.float32), bt.astype(jnp.float32),
+      kernel[: 2 * two_e].astype(jnp.float32),
+      bias.reshape(1, num_heads).astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_relation_bias_v4(src_boxes, tgt_boxes, kernel, bias, embed_dim=16,
+                           temperature=10000.0, scale=100.0, eps=1e-5):
+    """Boxes-in/bias-out fused relation bias -> (B, H, N1, N2).
+
+    One Pallas kernel computes the xy pair angles + sin/cos features in
+    VMEM (never materializing the (B, N1, N2, feats) tensor in HBM) and
+    mixes the separable wh half as per-head MXU dots over folded per-box
+    features. HBM traffic is the output plus O(N) per-box operands.
+    """
+    return _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim,
+                   temperature, scale, eps)
+
+
+def _v4_vjp_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
+                scale, eps):
+    out = _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
+                  scale, eps)
+    return out, (src_boxes, tgt_boxes, kernel, bias)
+
+
+def _v4_vjp_bwd(embed_dim, temperature, scale, eps, residuals, g):
+    # sine features carry no gradient by spec (reference relation_
+    # transformer.py:527-529; boxes are stop_gradient'ed at the caller);
+    # kernel/bias grads recompute through the separable unfused path.
+    src_boxes, tgt_boxes, kernel, bias = residuals
+    from relation_detr_tpu.models.relation import separable_relation_bias
+
+    _, vjp = jax.vjp(
+        lambda k, b: separable_relation_bias(
+            src_boxes, tgt_boxes, k, b, embed_dim, temperature, scale, eps
+        ),
+        kernel, bias,
+    )
+    dk, db = vjp(g)
+    return jnp.zeros_like(src_boxes), jnp.zeros_like(tgt_boxes), dk, db
+
+
+fused_relation_bias_v4.defvjp(_v4_vjp_fwd, _v4_vjp_bwd)
 
 
 def _reference_bias(rel, kernel, bias, embed_dim, temperature, scale):

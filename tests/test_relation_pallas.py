@@ -66,6 +66,34 @@ def test_separable_matches_direct(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
 
 
+@pytest.mark.parametrize("shape", [(1, 60, 60), (2, 33, 47)])
+def test_v4_matches_direct(shape):
+    """Boxes-in/bias-out v4 kernel == direct pairwise embedding."""
+    from relation_detr_tpu.ops.relation_pallas import fused_relation_bias_v4
+
+    b, n1, n2 = shape
+    rng = np.random.RandomState(4)
+    src = jnp.asarray(rng.rand(b, n1, 4).astype(np.float32) * 0.9 + 0.01)
+    tgt = jnp.asarray(rng.rand(b, n2, 4).astype(np.float32) * 0.9 + 0.01)
+    kernel = jnp.asarray(rng.randn(64, 8).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.randn(8).astype(np.float32) * 0.1)
+    got = fused_relation_bias_v4(src, tgt, kernel, bias)
+    want = _direct_bias_from_boxes(src, tgt, kernel, bias)
+    assert got.shape == (b, 8, n1, n2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
+
+    gk, gb = jax.grad(
+        lambda k, b_: jnp.sum(fused_relation_bias_v4(src, tgt, k, b_) ** 2),
+        argnums=(0, 1),
+    )(kernel, bias)
+    rk, rb = jax.grad(
+        lambda k, b_: jnp.sum(_direct_bias_from_boxes(src, tgt, k, b_) ** 2),
+        argnums=(0, 1),
+    )(kernel, bias)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=5e-3, atol=5e-3)
+
+
 def test_separable_extreme_boxes_and_grads():
     """Tiny/degenerate wh (large log-ratio angles) stay within tolerance and
     kernel/bias grads match the direct path."""
