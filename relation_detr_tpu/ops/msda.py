@@ -543,6 +543,11 @@ def _sep_contract(oy, ox, patch):
     """
     a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
     a, patch = _boundary_cast(a, patch)  # TPU: rounding the MXU does anyway
+    # NOTE (round 4, measured): pre-transposing the patch slab to
+    # (B,nt,H,D,M) so the dot RHS has the contraction dim minor (avoiding
+    # the 4x D=32->128 lane padding) is a LOSER — 47.4 vs 43.0 ms on the
+    # flagship; the explicit transpose materializes instead of fusing into
+    # the band-grid slice stack. XLA's own layout choice wins.
     return jnp.einsum(
         "bnhyxt,bnyxhd->bnhtd", a, patch, preferred_element_type=jnp.float32
     )

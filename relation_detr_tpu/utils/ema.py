@@ -6,10 +6,13 @@ averaging): ema = decay * ema + (1 - decay) * params, as a pure pytree op.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 
 def ema_init(params):
-    return jax.tree.map(lambda x: x, params)
+    # a real copy, not an aliasing identity map: the train step donates its
+    # input state, which would delete aliased EMA buffers with it
+    return jax.tree.map(jnp.copy, params)
 
 
 def ema_update(ema_params, params, decay: float = 0.999):

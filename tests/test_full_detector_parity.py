@@ -29,12 +29,28 @@ from tests.torch_oracle import (  # noqa: E402
     post_process_topk,
 )
 
-DIMS = dict(num_classes=7, embed_dim=64, d_ffn=128, num_heads=4,
-            num_levels=4, num_points=4, num_encoder_layers=2,
-            num_decoder_layers=2, two_stage_num_proposals=20,
-            hybrid_num_proposals=30)
-B, H, W = 2, 128, 160
-TOPK = 25
+# toy dims: fast CPU loop, exercises batch>1 + per-image padding.
+# flagship dims (round-4 verdict item 3): the REAL config — embed 256,
+# 6+6 layers, 8 heads, 900 queries, d_ffn 2048
+# (/root/reference/configs/relation_detr/relation_detr_resnet50_800_1333.py:32-111)
+# on a small canvas, so head-dim/layer-count-dependent layout bugs the
+# 64-dim loop can't see pass through the converter.
+CASES = {
+    "toy": dict(
+        dims=dict(num_classes=7, embed_dim=64, d_ffn=128, num_heads=4,
+                  num_levels=4, num_points=4, num_encoder_layers=2,
+                  num_decoder_layers=2, two_stage_num_proposals=20,
+                  hybrid_num_proposals=30),
+        b=2, h=128, w=160, topk=25,
+    ),
+    "flagship": dict(
+        dims=dict(num_classes=91, embed_dim=256, d_ffn=2048, num_heads=8,
+                  num_levels=4, num_points=4, num_encoder_layers=6,
+                  num_decoder_layers=6, two_stage_num_proposals=900,
+                  hybrid_num_proposals=1500),
+        b=1, h=256, w=320, topk=100,
+    ),
+}
 
 
 def _unflatten(flat):
@@ -48,8 +64,11 @@ def _unflatten(flat):
     return tree
 
 
-@pytest.fixture(scope="module")
-def detectors():
+@pytest.fixture(scope="module", params=["toy", "flagship"])
+def detectors(request):
+    case = CASES[request.param]
+    DIMS = case["dims"]
+    B, H, W = case["b"], case["h"], case["w"]
     torch.manual_seed(0)
     oracle = FullDetector(
         TorchRelationTransformer(**DIMS), DIMS["num_classes"],
@@ -117,14 +136,15 @@ def detectors():
     # inputs: normalized-ish image with per-image padding (valid ratios)
     images = rng.randn(B, H, W, 3).astype(np.float32)
     mask = np.zeros((B, H, W), bool)
-    mask[1, (3 * H) // 4:, :] = True
-    mask[1, :, (3 * W) // 4:] = True
+    mask[B - 1, (3 * H) // 4:, :] = True
+    mask[B - 1, :, (3 * W) // 4:] = True
     images[mask] = 0.0
-    return oracle, model, {"params": params, "batch_stats": stats}, images, mask
+    variables = {"params": params, "batch_stats": stats}
+    return oracle, model, variables, images, mask, case
 
 
 def test_full_detector_eval_parity(detectors):
-    oracle, model, variables, images, mask = detectors
+    oracle, model, variables, images, mask, _case = detectors
     with torch.no_grad():
         ref = oracle(
             torch.from_numpy(images).permute(0, 3, 1, 2).contiguous(),
@@ -135,21 +155,46 @@ def test_full_detector_eval_parity(detectors):
     )
     # raw heads through the whole stack: backbone -> neck -> pos-embeds ->
     # transformer; tolerance as in test_e2e_parity (fp32 fusion noise)
-    np.testing.assert_allclose(
-        np.asarray(ours["pred_logits"]), ref[0][-1].numpy(),
-        rtol=2e-3, atol=2e-3, err_msg="pred_logits",
-    )
-    np.testing.assert_allclose(
-        np.asarray(ours["pred_boxes"]), ref[1][-1].numpy(),
-        rtol=2e-3, atol=2e-3, err_msg="pred_boxes",
-    )
+    if _case["dims"]["two_stage_num_proposals"] >= 900:
+        # flagship dims: the two-stage top-900-of-~1700 proposal cut at
+        # random init is tie-dense — fp noise flips a handful of boundary
+        # proposals between the frameworks, making those QUERIES entirely
+        # different objects (measured: ~11/900 flipped, the other 889 match
+        # to 2e-3). Assert per-query: nearly all queries match tightly, so a
+        # head-dim/layer-count-dependent layout bug (which corrupts EVERY
+        # query) still fails loudly.
+        for name, a, b in (
+            ("pred_logits", ours["pred_logits"], ref[0][-1].numpy()),
+            ("pred_boxes", ours["pred_boxes"], ref[1][-1].numpy()),
+        ):
+            a = np.asarray(a)
+            bad = (
+                np.abs(a - b) > 2e-3 + 2e-3 * np.abs(b)
+            ).any(axis=-1)  # (B, Q) queries with any mismatched element
+            frac = bad.mean()
+            assert frac <= 0.03, (
+                f"{name}: {bad.sum()}/{bad.size} queries mismatch "
+                f"({frac:.1%}) — beyond proposal-tie noise"
+            )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(ours["pred_logits"]), ref[0][-1].numpy(),
+            rtol=2e-3, atol=2e-3, err_msg="pred_logits",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ours["pred_boxes"]), ref[1][-1].numpy(),
+            rtol=2e-3, atol=2e-3, err_msg="pred_boxes",
+        )
 
 
 def test_full_detector_detections_parity(detectors):
     """Image -> final detections (PostProcess semantics,
     post_process.py:28-43): boxes/scores/labels match the torch pipeline."""
-    oracle, model, variables, images, mask = detectors
-    sizes = np.array([[96.0, 128.0], [64.0, 80.0]], np.float32)  # (h, w)
+    oracle, model, variables, images, mask, case = detectors
+    B, TOPK = case["b"], case["topk"]
+    sizes = np.array(
+        [[96.0, 128.0], [64.0, 80.0]][:B], np.float32
+    )  # (h, w) per image
     with torch.no_grad():
         ref = oracle(
             torch.from_numpy(images).permute(0, 3, 1, 2).contiguous(),
@@ -181,4 +226,12 @@ def test_full_detector_detections_parity(detectors):
             1 for a, b in zip(ours_set, ref_set)
             if a[0] == b[0] and np.allclose(a[1], b[1], atol=0.6)
         )
-        assert matched >= TOPK - 2, f"image {i}: only {matched}/{TOPK} matched"
+        # at random init the top-k boundary is tie-dense (81.9k candidate
+        # scores at flagship dims); allow fp-noise reordering at the tail.
+        # flagship additionally carries the two-stage proposal tie flips
+        # (measured ~11/900 queries select different proposals at init —
+        # see eval_parity above — and ~12 of those land in the top-100)
+        allowed = max(2, TOPK // 10) if TOPK < 100 else TOPK // 5
+        assert matched >= TOPK - allowed, (
+            f"image {i}: only {matched}/{TOPK} matched"
+        )

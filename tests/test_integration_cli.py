@@ -82,11 +82,22 @@ def test_train_then_eval_then_rescore(synth, train_cfg, tmp_path_factory):
     cfg, out = train_cfg
     cache_dir = str(tmp_path_factory.mktemp("xla_cache"))
     r = _run([sys.executable, "train.py", "--config-file", str(cfg),
-              "--canvas", "320,320", "--max-steps", "1"],
+              "--canvas", "320,320", "--max-steps", "1",
+              "--ema-decay", "0.9"],
              extra_env={"JAX_COMPILATION_CACHE_DIR": cache_dir})
     assert r.returncode == 0, r.stderr[-2000:]
     ckpt = os.path.join(out, "latest.npz")
     assert os.path.exists(ckpt)
+    # --ema-decay kept and saved a parameter EMA: after one step,
+    # ema = 0.9*init + 0.1*params, so it differs from BOTH (a stale copy of
+    # either would match one of them exactly)
+    import numpy as np
+    ema = dict(np.load(os.path.join(out, "latest_ema.npz")))
+    latest = dict(np.load(ckpt))
+    pkeys = [k for k in ema if k.startswith("params/")]
+    assert pkeys and all(k in latest for k in pkeys)
+    diffs = [float(np.abs(ema[k] - latest[k]).max()) for k in pkeys]
+    assert max(diffs) > 0, "EMA identical to the trained params"
     # the persistent XLA compilation cache populated (runtime.py wiring):
     # a second process re-running this graph skips the multi-minute compile
     assert os.listdir(cache_dir), "compilation cache dir stayed empty"

@@ -68,8 +68,14 @@ def parse_args():
                    help="bf16 compute for backbone + transformer matmuls "
                         "(params stay fp32; MSDA core/softmax/loss stay fp32 "
                         "— the reference's AMP islands, main.py:28-35)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="keep an exponential moving average of the params "
+                        "(ema = d*ema + (1-d)*params each step, reference "
+                        "util/utils.py:272-282) and save it as "
+                        "latest_ema.npz; 0 disables (the reference default "
+                        "— its EMA class is likewise opt-in)")
     p.add_argument("--remat-policy", default=None,
-                   choices=(None, "none", "dots", "dots_no_batch"),
+                   choices=(None, "none", "dots", "dots_no_batch", "save_all"),
                    help="rematerialization policy for transformer layers; "
                         "'dots' saves matmul outputs (recommended with "
                         "--mixed-precision bf16: cast chains feeding dots "
@@ -264,6 +270,15 @@ def main():
                 + (f"; latest metrics: {host}" if host else "")
             )
 
+    ema_params, ema_step = None, None
+    if args.ema_decay > 0.0:
+        from relation_detr_tpu.utils.ema import ema_init, ema_update
+
+        ema_params = ema_init(state.params)
+        ema_step = jax.jit(
+            lambda e, p: ema_update(e, p, args.ema_decay), donate_argnums=0
+        )
+
     batch_keys = ("images", "mask", "gt_labels", "gt_boxes", "gt_valid")
     global_step = 0
     prev_metrics = None
@@ -275,6 +290,8 @@ def main():
             if profile_range and global_step == profile_range[0]:
                 jax.profiler.start_trace(os.path.join(output_dir, "profile"))
             state, metrics = step_fn(state, device_batch, rng)
+            if ema_step is not None:
+                ema_params = ema_step(ema_params, state.params)
             global_step += 1
             # per-step divergence stop: check the PREVIOUS step's counter
             # after dispatching this one — its value is already materialized
@@ -344,6 +361,11 @@ def main():
 
                 weights["_classes_"] = encode_labels(class_names)
             save_weights(os.path.join(output_dir, "latest.npz"), weights)
+            if ema_params is not None:
+                save_weights(
+                    os.path.join(output_dir, "latest_ema.npz"),
+                    {"params": ema_params, "batch_stats": state.batch_stats},
+                )
         if stop_now:
             break
     if prev_metrics is not None:  # the final step was never cross-checked
