@@ -98,6 +98,18 @@ _MSDA_DEFAULTS = {
     # HBM; ops/msda_sep_pallas.py) instead of the XLA einsum whose A
     # operand is ~780 MB/layer of HBM traffic
     "tiled_sep_kernel": False,
+    # contract A against the patch slab in a Pallas VMEM kernel that
+    # consumes the slab in its natural (M, C=H*D) layout
+    # (ops/msda_sep_pallas.py::slab_dot), targeting the head-split's
+    # D=32-minor lane padding (~0.67 ms/encoder-layer of reshapes,
+    # hlo_stats round 4). MEASURED LOSER (PERF.md round 4): 46.6 ms
+    # flagship eval fwd vs 42.7 for the XLA einsum — the kernel's 8 tiny
+    # per-head (M,T)x(M,D=32) dots underutilize the MXU (32 of 128 output
+    # lanes) and forfeit XLA's cross-op pipelining; the padding it saves
+    # is cheaper than what it costs. Kept default-OFF with golden tests
+    # as the design record (third data point: XLA's fused A-build+dot
+    # beats hand VMEM kernels for this op).
+    "tiled_slab_kernel": False,
     # cast fp32 MXU-dot operands (the A matrix and the patch slab) to bf16
     # at the einsum boundary, leaving the A-build itself fp32. MEASURED
     # (PERF.md round-3e, flagship on TPU): bitwise identical to the fp32
@@ -123,6 +135,13 @@ def _resolve_tiled_dtype():
     return d
 
 
+def _tiled_slab_kernel_enabled() -> bool:
+    flag = _MSDA_DEFAULTS["tiled_slab_kernel"]
+    if flag == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return bool(flag)
+
+
 def _tiled_dot_bf16_enabled() -> bool:
     flag = _MSDA_DEFAULTS["tiled_dot_bf16"]
     if flag == "auto":
@@ -145,13 +164,18 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_margin=None, dense_level_rows=None,
                       tiled_layout=None, decoder_prepack=None,
                       tiled_overflow=None, tiled_patch_mode=None,
-                      tiled_sep_kernel=None, tiled_dot_bf16=None):
+                      tiled_sep_kernel=None, tiled_dot_bf16=None,
+                      tiled_slab_kernel=None):
     if tiled_dot_bf16 is not None:
         _MSDA_DEFAULTS["tiled_dot_bf16"] = (
             "auto" if tiled_dot_bf16 == "auto" else bool(tiled_dot_bf16)
         )
     if tiled_sep_kernel is not None:
         _MSDA_DEFAULTS["tiled_sep_kernel"] = bool(tiled_sep_kernel)
+    if tiled_slab_kernel is not None:
+        _MSDA_DEFAULTS["tiled_slab_kernel"] = (
+            "auto" if tiled_slab_kernel == "auto" else bool(tiled_slab_kernel)
+        )
     if tiled_patch_mode is not None:
         _MSDA_DEFAULTS["tiled_patch_mode"] = tiled_patch_mode
     if decoder_prepack is not None:
@@ -206,12 +230,13 @@ def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   dense_level_rows=None, tiled_layout=None,
                   decoder_prepack=None, tiled_overflow=None,
                   tiled_patch_mode=None, tiled_sep_kernel=None,
-                  tiled_dot_bf16=None):
+                  tiled_dot_bf16=None, tiled_slab_kernel=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
                       tiled_layout, decoder_prepack, tiled_overflow,
-                      tiled_patch_mode, tiled_sep_kernel, tiled_dot_bf16)
+                      tiled_patch_mode, tiled_sep_kernel, tiled_dot_bf16,
+                      tiled_slab_kernel)
     try:
         yield
     finally:
@@ -533,7 +558,7 @@ def _sep_contract(oy, ox, patch):
     """out[t,d] = sum_{p,y,x} oy[p,y,t]*ox[p,x,t]*patch[y,x,d] (batched).
 
     oy (B,nt,H,P,ph,T), ox (B,nt,H,P,pw,T), patch (B,nt,ph,pw,H,D) ->
-    (B,nt,H,T,D). The forward builds A = sum_p oy_p (x) ox_p as P fused
+    (B,nt,H,D,T). The forward builds A = sum_p oy_p (x) ox_p as P fused
     rank-1 accumulations and contracts it on the MXU. The custom backward
     exists because reverse-mode autodiff of the P-sum materializes
     (B,nt,H,P,ph,pw,T) products (4x the A matrix, ~3 GB per encoder layer
@@ -548,8 +573,12 @@ def _sep_contract(oy, ox, patch):
     # the 4x D=32->128 lane padding) is a LOSER — 47.4 vs 43.0 ms on the
     # flagship; the explicit transpose materializes instead of fusing into
     # the band-grid slice stack. XLA's own layout choice wins.
+    # The OUTPUT order is (B,nt,H,D,T): with T minor the result pads
+    # 80->128 lanes (1.6x) instead of the 4x a D-minor (...,T,H,D)
+    # accumulator pays; the caller sums all levels in this layout and
+    # transposes once.
     return jnp.einsum(
-        "bnhyxt,bnyxhd->bnhtd", a, patch, preferred_element_type=jnp.float32
+        "bnhyxt,bnyxhd->bnhdt", a, patch, preferred_element_type=jnp.float32
     )
 
 
@@ -558,10 +587,10 @@ def _sep_contract_fwd(oy, ox, patch):
 
 
 def _sep_contract_bwd(res, g):
-    oy, ox, patch = res  # g (B,nt,H,T,D)
+    oy, ox, patch = res  # g (B,nt,H,D,T)
     g_c, patch_c = _boundary_cast(g, patch)
     da = jnp.einsum(
-        "bnhtd,bnyxhd->bnhyxt", g_c, patch_c,
+        "bnhdt,bnyxhd->bnhyxt", g_c, patch_c,
         preferred_element_type=jnp.float32,
     )  # (B,nt,H,ph,pw,T)
     d_oy = jnp.sum(
@@ -573,7 +602,7 @@ def _sep_contract_bwd(res, g):
     a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
     a_c, g_c = _boundary_cast(a, g)
     d_patch = jnp.einsum(
-        "bnhyxt,bnhtd->bnyxhd", a_c, g_c, preferred_element_type=jnp.float32
+        "bnhyxt,bnhdt->bnyxhd", a_c, g_c, preferred_element_type=jnp.float32
     )
     # cotangent dtypes must match the primals (bf16 under --msda-dtype bf16)
     return (d_oy.astype(oy.dtype), d_ox.astype(ox.dtype),
@@ -683,6 +712,11 @@ def _msda_tiled(
 
     vflat = value.astype(gather_dtype).reshape(bs, total, num_heads * head_dim)
     out = jnp.zeros((bs, nt, T, num_heads, head_dim), jnp.float32)
+    # default separable branch: per-level (B,nt,H,D,T) pieces, summed in ONE
+    # fusion and transposed ONCE after the loop. Accumulating per level into
+    # the (...,T,H,D) buffer paid a 4x lane-padded (D=32 minor) read+write
+    # per level (~3 ms/iter of the round-4 "data formatting" bucket).
+    parts = []
     for lvl, (h, w) in enumerate(spatial_shapes):
         y0s, x0s, ph, pw = geo.patches[lvl]
         vl = jax.lax.dynamic_slice_in_dim(vflat, starts[lvl], h * w, axis=1)
@@ -697,7 +731,7 @@ def _msda_tiled(
             y0u, x0u = geo.patch_grid[lvl]
             patch = _slice_patches(
                 vl.astype(tiled_dtype), y0u, x0u, ph, pw
-            ).reshape(bs, nt, ph * pw, num_heads, head_dim)
+            ).reshape(bs, nt, ph * pw, num_heads * head_dim)
         elif bs == 1:
             # transpose-free path: gather straight into (nt, Ph, Pw, C)
             dnums = jax.lax.GatherDimensionNumbers(
@@ -711,7 +745,7 @@ def _msda_tiled(
                 dnums,
                 slice_sizes=(ph, pw, num_heads * head_dim),
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            ).reshape(1, nt, ph * pw, num_heads, head_dim)
+            ).reshape(1, nt, ph * pw, num_heads * head_dim)
         else:
             dnums = jax.lax.GatherDimensionNumbers(
                 offset_dims=(1, 2, 3, 4),
@@ -726,7 +760,7 @@ def _msda_tiled(
                 mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
             )  # (nt, B, Ph, Pw, C)
             patch = jnp.transpose(patch, (1, 0, 2, 3, 4)).reshape(
-                bs, nt, ph * pw, num_heads, head_dim
+                bs, nt, ph * pw, num_heads * head_dim
             )
 
         by = jnp.asarray(y0s).reshape(1, nt, 1, 1, 1)
@@ -875,8 +909,7 @@ def _msda_tiled(
             wv = w_buf[..., None] * vals.astype(jnp.float32)  # (B,nt,H,K,D)
             residual = jnp.sum(
                 onehot_t[..., :, :, None] * wv[..., :, None, :], axis=3
-            )  # (B,nt,H,T,D)
-            residual = jnp.transpose(residual, (0, 1, 3, 2, 4))
+            )  # (B,nt,H,T,D); transposed at the add site per branch layout
 
         if use_pallas:
             from relation_detr_tpu.ops.msda_pallas import tiled_matmul_core
@@ -900,7 +933,12 @@ def _msda_tiled(
                 * (m_all[..., None] == m_iota).astype(tiled_dtype),
                 axis=-2,
             )  # (B,nt,T,H,M)
-            a_mat, patch_c = _boundary_cast(a_mat, patch.astype(tiled_dtype))
+            a_mat, patch_c = _boundary_cast(
+                a_mat,
+                patch.astype(tiled_dtype).reshape(
+                    bs, nt, ph * pw, num_heads, head_dim
+                ),
+            )
             contrib = jnp.einsum(
                 "bnthm,bnmhd->bnthd",
                 a_mat,
@@ -952,6 +990,26 @@ def _msda_tiled(
                 out = out + contrib.reshape(
                     bs, nt, T, num_heads, head_dim
                 )
+            elif _tiled_slab_kernel_enabled():
+                # Pallas slab-dot: the XLA fusion still builds A (it runs at
+                # the HBM roofline), but MERGED over (ph, pw) — expanding
+                # oy/ox via free reshape-of-broadcast makes the
+                # multiply-reduce fusion write (..., M, T) natively — and
+                # the VMEM kernel contracts it against the slab in its
+                # lane-unpadded (M, C) layout (see slab_dot docstring).
+                from relation_detr_tpu.ops.msda_sep_pallas import slab_dot
+
+                oy_c = oy.astype(tiled_dtype)
+                ox_c = ox.astype(tiled_dtype)
+                ry = jnp.broadcast_to(
+                    oy_c[..., :, None, :], oy_c.shape[:4] + (ph, pw, T)
+                ).reshape(bs, nt, num_heads, num_points, ph * pw, T)
+                tx = jnp.broadcast_to(
+                    ox_c[..., None, :, :], ox_c.shape[:4] + (ph, pw, T)
+                ).reshape(bs, nt, num_heads, num_points, ph * pw, T)
+                a = jnp.sum(ry * tx, axis=3)  # (B,nt,H,M,T)
+                a, patch_c = _boundary_cast(a, patch.astype(tiled_dtype))
+                parts.append(slab_dot(a, patch_c))  # (B,nt,T,C) f32
             else:
                 # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products,
                 # fused into the MXU contraction; custom VJP keeps the
@@ -963,10 +1021,27 @@ def _msda_tiled(
                         bs, nt, ph, pw, num_heads, head_dim
                     ),
                 )
-                out = out + jnp.transpose(contrib, (0, 1, 3, 2, 4))
-        if residual is not None:
-            out = out + residual
+                parts.append(contrib)  # (B,nt,H,D,T)
+        if residual is not None:  # (B,nt,H,T,D)
+            if parts and parts[0].ndim == 4:  # token-major (B,nt,T,C)
+                parts.append(
+                    jnp.transpose(residual, (0, 1, 3, 2, 4)).reshape(
+                        bs, nt, T, num_heads * head_dim
+                    )
+                )
+            elif parts:
+                parts.append(jnp.transpose(residual, (0, 1, 2, 4, 3)))
+            else:
+                out = out + jnp.transpose(residual, (0, 1, 3, 2, 4))
 
+    if parts:  # sum in the dot-output layout, transpose (at most) once
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc + p
+        if acc.ndim == 4:  # (B,nt,T,C) token-major: final reshape is free
+            out = acc
+        else:  # (B,nt,H,D,T)
+            out = jnp.transpose(acc, (0, 1, 4, 2, 3))  # (B,nt,T,H,D)
     out = out.reshape(bs, nt * T, num_heads * head_dim)
     out = _perm_untile(
         out, invf_np, permf_np, geo.slot_valid.reshape(-1)
