@@ -129,14 +129,17 @@ def main():
 
         mesh = create_mesh()
         tx = build_optimizer(optax.constant_schedule(1e-4))
-        state = create_train_state(dict(variables), tx)
+        state = create_train_state(dict(variables), tx, mesh)
         step = make_train_step(
             model, CriterionConfig(num_classes=91), tx, mesh, donate=False
         )
         sb = shard_batch(mesh, tb)
         key = jax.random.key(0)
         state, m = step(state, sb, key)
-        float(m["total_loss"])  # compile + warm
+        float(m["total_loss"])  # compile
+        state, m = step(state, sb, key)
+        float(m["total_loss"])  # warm (any one-time retrace lands here,
+        # not in the timed loop — see create_train_state's mesh placement)
         K = 6
         t0 = time.perf_counter()
         for _ in range(K):

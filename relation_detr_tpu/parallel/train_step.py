@@ -56,15 +56,30 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def create_train_state(variables, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    variables, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
+) -> TrainState:
+    """Build the initial TrainState; pass the training mesh to avoid a
+    full second compile of the train step.
+
+    Freshly initialized variables carry SingleDeviceSharding while the
+    jitted step outputs NamedSharding(mesh, P()) — without placement the
+    second step() call sees different input shardings and RECOMPILES the
+    whole program (measured 177 s wasted on the flagship, PERF.md round 4).
+    Replicated placement over the mesh matches the step's output sharding
+    (params replicated, batch sharded = the DDP layout).
+    """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    return TrainState(
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
     )
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    return state
 
 
 def make_train_step(

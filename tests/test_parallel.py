@@ -177,3 +177,24 @@ def test_params_update_and_frozen_stay(setup):
             changed += 1
     assert frozen_unchanged > 0
     assert changed > 50
+
+
+def test_second_step_does_not_recompile(setup):
+    """A train step on a mesh-placed state must reuse the compiled program.
+
+    Freshly initialized variables carry SingleDeviceSharding; the step's
+    outputs carry NamedSharding(mesh, P()). Without mesh placement in
+    create_train_state the SECOND step() call misses the jit cache and
+    recompiles the full program (measured 177 s wasted on the flagship TPU
+    — PERF.md round 4, found via a 67 s/step bench artifact)."""
+    model, cfg, batch, variables = setup
+    mesh, tx, step = _get_step(model, cfg, 8)
+    state = create_train_state(variables, tx, mesh)
+    sharded = shard_batch(mesh, batch)
+    state, _ = step(state, sharded, jax.random.key(7))
+    n_compiles = step._cache_size()
+    state, _ = step(state, sharded, jax.random.key(7))
+    state, _ = step(state, sharded, jax.random.key(7))
+    assert step._cache_size() == n_compiles, (
+        f"train step retraced: cache {n_compiles} -> {step._cache_size()}"
+    )

@@ -206,7 +206,7 @@ def main():
         loaded_weights = True
         resume_from = None
 
-    state = create_train_state(variables, tx)
+    state = create_train_state(variables, tx, mesh)
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     start_epoch = cfg.get("starting_epoch", 0)
     if resume_from:
