@@ -4,6 +4,8 @@
 import glob
 import sys
 
+sys.path.insert(0, "/root/repo")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,6 @@
 """A/B: relation bias v3 (separable XLA) vs v4 (boxes-in Pallas) in-model."""
-import time
+import sys, time
+sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 
 

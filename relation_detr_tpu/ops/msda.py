@@ -828,25 +828,30 @@ def _msda_tiled(
             K = overflow_k
             bad_all = jnp.concatenate(bads, axis=entry_axis)  # (B,nt,H,E,T)
             g_all = jnp.concatenate(gids, axis=entry_axis)
-            # compaction rank in token-major order, WITHOUT a lane-minor
-            # cumsum over E*T (lane-serial prefix sums measured ~1 ms per
-            # (level, layer) on the flagship): per-token counts reduce over
-            # the E sublanes, their exclusive prefix is one tiny triangular
-            # matmul on the MXU, and the within-token rank is a 16-deep
-            # sublane cumsum.
+            # compaction rank in token-major order, WITHOUT any lane- or
+            # sublane-serial prefix sum: per-token counts reduce over the E
+            # sublanes, their exclusive prefix over tokens is one tiny
+            # triangular matmul on the MXU, and the within-token rank over
+            # the E=4P corner entries is ANOTHER tiny triangular matmul —
+            # jnp.cumsum(axis=-2) here lowered to a full reduce_window_sum
+            # (E x the traffic, 4.9 ms/iter on the flagship profile).
             bad_i = bad_all.astype(jnp.float32)
+            E = bad_i.shape[-2]
             count_t = jnp.sum(bad_i, axis=-2)  # (B,nt,H,T)
             tri = jnp.tril(jnp.ones((T, T), jnp.float32), k=-1)
             base_t = jnp.einsum(
                 "ts,bnhs->bnht", tri, count_t,
                 preferred_element_type=jnp.float32,
             )  # exclusive prefix over tokens
-            within = jnp.cumsum(bad_i, axis=-2) - bad_i  # exclusive, over E
+            tri_e = jnp.tril(jnp.ones((E, E), jnp.float32), k=-1)
+            within = jnp.einsum(
+                "ef,bnhft->bnhet", tri_e, bad_i,
+                preferred_element_type=jnp.float32,
+            )  # exclusive prefix over corner entries
             pos_et = (base_t[:, :, :, None, :] + within).astype(jnp.int32)
             pos_et = jnp.where(bad_all, pos_et, K)  # non-bad: park beyond K
             bad_f = bad_all.reshape(bs, nt, num_heads, -1)
             w_f = w_all.reshape(bs, nt, num_heads, -1)
-            g_f = g_all.reshape(bs, nt, num_heads, -1)
             et = bad_f.shape[-1]
             t_f = jnp.broadcast_to(
                 jax.lax.broadcasted_iota(
@@ -856,27 +861,45 @@ def _msda_tiled(
             )
             pos = pos_et.reshape(bs, nt, num_heads, -1)
             handled = bad_f & (pos < K)
+            g_f = g_all.reshape(bs, nt, num_heads, -1)
             gc_f = jnp.concatenate(gclamps, axis=entry_axis).reshape(
                 bs, nt, num_heads, -1
             )
+            # pack (level row, token) into ONE integer so the masked
+            # reductions below go 4 -> 3; g*T + t stays < 2^24 for any
+            # realistic level (f32-exact), with a guarded fallback
+            packable = h * w * T < (1 << 24)
+            if packable:
+                pk_f = g_f * T + t_f
             # compaction one-hot with K on SUBLANES and ET on lanes — the
             # (..., ET, K) einsum layout pads K=8 to 128 lanes (16x traffic,
-            # measured +25 ms on the flagship); three lane-reductions over
-            # the (B,nt,H,K,ET) layout are ~free
+            # measured +25 ms on the flagship); lane-reductions over the
+            # (B,nt,H,K,ET) layout are ~free. Each k-row has at most one
+            # nonzero entry, so the f32 sums below are exact selects.
             onehot = (
                 handled[..., None, :]
                 & (pos[..., None, :] == jnp.arange(K)[:, None])
             ).astype(jnp.float32)  # (B,nt,H,K,ET)
-            row_buf = jax.lax.stop_gradient(
-                jnp.sum(onehot * g_f[..., None, :].astype(jnp.float32), -1)
-            ).astype(jnp.int32)
+            if packable:
+                pk_buf = jax.lax.stop_gradient(
+                    jnp.sum(onehot * pk_f[..., None, :].astype(jnp.float32),
+                            -1)
+                ).astype(jnp.int32)
+                row_buf = pk_buf // T
+                t_buf = pk_buf % T
+            else:
+                row_buf = jax.lax.stop_gradient(
+                    jnp.sum(onehot * g_f[..., None, :].astype(jnp.float32),
+                            -1)
+                ).astype(jnp.int32)
+                t_buf = jax.lax.stop_gradient(
+                    jnp.sum(onehot * t_f[..., None, :].astype(jnp.float32),
+                            -1)
+                ).astype(jnp.int32)
             border_buf = jax.lax.stop_gradient(
                 jnp.sum(onehot * gc_f[..., None, :].astype(jnp.float32), -1)
             ).astype(jnp.int32)
             w_buf = jnp.sum(onehot * w_f[..., None, :], -1)
-            t_buf = jax.lax.stop_gradient(
-                jnp.sum(onehot * t_f[..., None, :].astype(jnp.float32), -1)
-            ).astype(jnp.int32)
             vhw = vl.reshape(bs, h * w, num_heads, head_dim)
             head_iota = jax.lax.broadcasted_iota(
                 jnp.int32, (1, 1, num_heads, 1), 2
@@ -889,19 +912,24 @@ def _msda_tiled(
                 start_indices_batching_dims=(0,),
             )
 
-            def fetch(rows):
+            def fetch(rows, k):
                 idx2 = jnp.stack(
                     [rows, jnp.broadcast_to(head_iota, rows.shape)], -1
-                ).reshape(bs, nt * num_heads * K, 2)
+                ).reshape(bs, nt * num_heads * k, 2)
                 return jax.lax.gather(
                     vhw,
                     idx2,
                     dnums_r,
                     slice_sizes=(1, 1, 1, head_dim),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                ).reshape(bs, nt, num_heads, K, head_dim)
+                ).reshape(bs, nt, num_heads, k, head_dim)
 
-            vals = fetch(row_buf) - fetch(border_buf)
+            # one gather for both the true corner and the border slot it
+            # replaces — halves the per-gather launch overhead
+            both = fetch(
+                jnp.concatenate([row_buf, border_buf], axis=-1), 2 * K
+            )
+            vals = both[..., :K, :] - both[..., K:, :]
             onehot_t = (t_buf[..., None] == jnp.arange(T)).astype(jnp.float32)
             # scatter K entries back over tokens on the VPU: an einsum here
             # is a batched (T,K)@(K,D) matmul with K=8 — 6% MXU lane

@@ -161,41 +161,58 @@ def _fused_fwd(rel, kernel, bias, embed_dim, temperature, scale):
       bias.reshape(1, num_heads).astype(jnp.float32))
 
 
-def _kernel_v4(src_ref, tgtt_ref, a_ref, bt_ref, w_ref, b_ref, out_ref, *,
+def _kernel_v4(src_ref, tgtt_ref, a_ref, bt_ref, wblk_ref, b_ref, out_ref, *,
                freqs, num_heads, eps):
     # src_ref: (1, bn1, 4) cxcywh rows for this i-block
     # tgtt_ref: (1, 2, N2) target centers, coord-major
-    # a_ref: (1, bn1, H*2E) folded per-box wh features (alpha|beta)
+    # a_ref: (1, H, bn1, 2E) folded per-box wh features (alpha|beta)
     # bt_ref: (1, 2E, N2) per-box target wh features (cos|sin), transposed
-    # w_ref: (2*2E, H) xy half of the projection kernel; b_ref: (1, H)
-    # out_ref: (1, H, bn1, N2)
+    # wblk_ref: (H*bn1, F*bn1) block-diagonal xy projection,
+    #           wblk[h*bn1+i, f*bn1+i] = w_xy[f, h]
+    # b_ref: (1, H); out_ref: (1, H, bn1, N2)
     two_e = bt_ref.shape[1]
     n2 = tgtt_ref.shape[2]
     bn1 = src_ref.shape[1]
-    # per-head accumulators start from the separable wh bilinear form:
-    # alpha/beta rows (bn1, 2E) x target features (2E, N2) on the MXU
-    acc = []
-    for h in range(num_heads):
-        a_h = a_ref[0, :, h * two_e:(h + 1) * two_e]  # (bn1, 2E)
-        part_wh = jax.lax.dot_general(
-            a_h, bt_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bn1, N2)
-        acc.append(part_wh + b_ref[0, h])
-    # xy pair angles built in VMEM: rel = log1p(|c1_i - c2_j| / w1_i)
+    # xy pair angles built in VMEM: rel = log1p(|c1_i - c2_j| / w1_i).
+    # Mixing the F=2*2*len(freqs) sine/cosine feature maps into heads is
+    # ONE real MXU dot against the block-diagonal weight matrix (the
+    # feature maps concatenate along sublanes into a 2D (F*bn1, N2)
+    # operand — Mosaic supports that; a (H,F)x(F,bn1,N2) contraction needs
+    # an unsupported 3D shape cast). Per-(feature, head) scalar FMAs on
+    # the VPU instead (v4.0) cost 256 full-block passes per block and left
+    # the kernel ~16x off the HBM roofline (0.52 ms/call).
+    feats = []
     for c in range(2):
         c1 = src_ref[0, :, c].reshape(bn1, 1)
         w1 = src_ref[0, :, 2 + c].reshape(bn1, 1)
         c2 = tgtt_ref[0, c, :].reshape(1, n2)
-        rel_c = jnp.log(jnp.abs(c1 - c2) / (w1 + eps) + 1.0)
-        for k, f in enumerate(freqs):
+        # clip keeps the partial-block PADDING rows finite (garbage w1 can
+        # make the ratio negative/inf -> log/sin NaN, and the block-diagonal
+        # dot below would propagate it through its ZERO entries into valid
+        # rows). Real cxcywh boxes have ratio in [0, ~1e5]: no-op for data.
+        ratio = jnp.abs(c1 - c2) / (w1 + eps)
+        ratio = jnp.where(ratio < 1e8, ratio, 1e8)  # NaN compares false
+        ratio = jnp.where(ratio >= 0.0, ratio, 0.0)
+        rel_c = jnp.log(ratio + 1.0)
+        for f in freqs:
             ang = rel_c * f
-            s, co = jnp.sin(ang), jnp.cos(ang)
-            row = c * 2 * len(freqs) + 2 * k
-            for h in range(num_heads):
-                acc[h] = acc[h] + s * w_ref[row, h] + co * w_ref[row + 1, h]
-    for h in range(num_heads):
-        out_ref[0, h, :, :] = jnp.maximum(acc[h], 0.0)
+            feats.append(jnp.sin(ang))
+            feats.append(jnp.cos(ang))
+    fstack = jnp.concatenate(feats, axis=0)  # (F*bn1, n2), f-major blocks
+    xy = jax.lax.dot_general(
+        wblk_ref[...], fstack, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H*bn1, n2), h-major blocks
+    # wh bilinear half: same h-major row layout via one (H*bn1, 2E) dot
+    a_rows = a_ref[0].reshape(num_heads * bn1, two_e)
+    part_wh = jax.lax.dot_general(
+        a_rows, bt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H*bn1, n2)
+    res = (xy + part_wh).reshape(num_heads, bn1, n2)
+    for h in range(num_heads):  # scalar bias adds (a (H,1,1) broadcast
+        out_ref[0, h] = jnp.maximum(res[h] + b_ref[0, h], 0.0)  # is an
+        # unsupported Mosaic shape cast)
 
 
 def _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
@@ -222,8 +239,9 @@ def _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
     alpha = sp[..., None, :, :] * ws + cp[..., None, :, :] * wc
     beta = sp[..., None, :, :] * wc - cp[..., None, :, :] * ws
     a_feats = jnp.stack([alpha, beta], axis=-1).reshape(
-        b, n1, num_heads * 2 * embed_dim
-    )  # (B, N1, H*2E), per-head rows contiguous
+        b, n1, num_heads, 2 * embed_dim
+    )
+    a_feats = jnp.transpose(a_feats, (0, 2, 1, 3))  # (B, H, N1, 2E)
     b_feats = jnp.stack([cq, sq], axis=-1).reshape(b, n2, 2 * embed_dim)
     bt = jnp.transpose(b_feats, (0, 2, 1))  # (B, 2E, N2)
     tgt_t = jnp.transpose(tgt_boxes[..., :2], (0, 2, 1))  # (B, 2, N2)
@@ -232,6 +250,14 @@ def _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
         _kernel_v4, freqs=freqs, num_heads=num_heads, eps=eps
     )
     two_e = 2 * embed_dim
+    # block-diagonal xy weights: wblk[h*bn+i, f*bn+i] = w_xy[f, h] — lets
+    # the kernel mix the sublane-concatenated (F*bn, N2) feature maps into
+    # all heads with ONE MXU dot (see _kernel_v4)
+    w_xy = kernel[:two_e].astype(jnp.float32)  # (F=2E, H), f-row order
+    eye = jnp.eye(block_n1, dtype=jnp.float32)
+    wblk = (
+        w_xy.T[:, None, :, None] * eye[None, :, None, :]
+    ).reshape(num_heads * block_n1, two_e * block_n1)
     return pl.pallas_call(
         body,
         grid=(b, pl.cdiv(n1, block_n1)),
@@ -240,12 +266,13 @@ def _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, n2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n1, num_heads * two_e),
-                         lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, num_heads, block_n1, two_e),
+                         lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, two_e, n2), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * two_e, num_heads), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads * block_n1, two_e * block_n1),
+                         lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, num_heads), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -256,8 +283,7 @@ def _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim, temperature,
         interpret=_use_interpret(),
     )(src_boxes.astype(jnp.float32), tgt_t.astype(jnp.float32),
       a_feats.astype(jnp.float32), bt.astype(jnp.float32),
-      kernel[: 2 * two_e].astype(jnp.float32),
-      bias.reshape(1, num_heads).astype(jnp.float32))
+      wblk, bias.reshape(1, num_heads).astype(jnp.float32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
