@@ -14,6 +14,8 @@ vs_baseline: the reference publishes no throughput numbers
 (/root/reference/README.md has mAP only; tools/benchmark_model.py is ad hoc).
 We use a documented proxy: DINO-class R50 detectors at 800x1333 run ~20-25
 img/s on A100 with the CUDA MSDeformAttn op; vs_baseline is ours / 22.0.
+Provenance + uncertainty band (~±20%): see BASELINE.md "Provenance ... A100
+proxy" — values within ±0.2 of a threshold are inside the proxy's noise.
 """
 from __future__ import annotations
 
@@ -69,6 +71,8 @@ def main():
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_g = float(cost.get("flops", float("nan"))) / 1e9
+        if not np.isfinite(flops_g):  # missing key -> NaN would emit
+            flops_g = None  # invalid JSON downstream (ADVICE r4)
     except Exception:
         import traceback
 

@@ -170,6 +170,8 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         aspect_ratio_group_factor: int = -1,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -185,12 +187,33 @@ class DataLoader:
         self.group_ids = None
         if aspect_ratio_group_factor >= 0 and hasattr(dataset, "images"):
             self.group_ids = aspect_ratio_group_ids(dataset, aspect_ratio_group_factor)
+        # multi-host sharding (the reference's DistributedSampler role,
+        # /root/reference/util/utils.py:79-119): every host builds the SAME
+        # global batch list (seeded shuffle) and takes a disjoint stride
+        # slice. Defaults resolve from the jax runtime so every entry point
+        # is multi-host-correct without plumbing.
+        if process_index is None or process_count is None:
+            try:
+                import jax
+
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            except Exception:
+                process_index, process_count = 0, 1
+        assert 0 <= process_index < process_count
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
 
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            total = n // self.batch_size
+        else:
+            total = (n + self.batch_size - 1) // self.batch_size
+        if self.process_count > 1:
+            # wraparound-padded to a multiple of process_count (_batches)
+            return -(-total // self.process_count)
+        return total
 
     def _batches(self) -> List[List[int]]:
         indices = np.arange(len(self.dataset))
@@ -222,6 +245,17 @@ class DataLoader:
             ]
         if self.drop_last and out and len(out[-1]) < self.batch_size:
             out.pop()
+        if self.process_count > 1:
+            # pad the GLOBAL list to a multiple of process_count by wrapping
+            # (DistributedSampler semantics: every host runs the same number
+            # of steps so collectives stay aligned; the evaluator dedups the
+            # repeated images by image_id), then take this host's stride.
+            if out:
+                n, i = len(out), 0
+                while len(out) % self.process_count:
+                    out.append(out[i % n])
+                    i += 1
+            out = out[self.process_index :: self.process_count]
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

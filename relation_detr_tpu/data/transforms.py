@@ -30,6 +30,61 @@ def hflip(sample: Dict) -> Dict:
     return {**sample, "image": np.ascontiguousarray(image), "boxes": boxes}
 
 
+def _bilinear_taps(in_size: int, out_size: int, antialias: bool):
+    """Per-output-pixel source indices + weights for 1D (antialiased)
+    bilinear resampling, the separable kernel torch/torchvision use
+    (ATen upsample_bilinear2d_aa): triangle filter, support widened by the
+    downscale factor when antialias is on, weights renormalized over the
+    in-bounds taps. Returns (js (out,K) int, w (out,K) float32)."""
+    scale = in_size / out_size
+    if antialias and scale > 1.0:
+        support, inv = scale, 1.0 / scale
+    else:
+        support, inv = 1.0, 1.0
+    centers = (np.arange(out_size, dtype=np.float64) + 0.5) * scale
+    lo = np.floor(centers - support + 0.5).astype(np.int64)
+    K = int(np.ceil(2.0 * support)) + 1
+    js = lo[:, None] + np.arange(K)[None]
+    w = np.maximum(1.0 - np.abs((js + 0.5 - centers[:, None]) * inv), 0.0)
+    w = np.where((js >= 0) & (js < in_size), w, 0.0)
+    w = (w / w.sum(axis=1, keepdims=True)).astype(np.float32)
+    return np.clip(js, 0, in_size - 1), w
+
+
+def resize_bilinear(image: np.ndarray, out_h: int, out_w: int,
+                    antialias: bool = True) -> np.ndarray:
+    """Exact torch bilinear resize (align_corners=False), optionally
+    antialiased — the reference's eval resize math
+    (/root/reference/models/detectors/base_detector.py:41-58,75:
+    torchvision F.resize(..., antialias=True)). Golden-tested vs
+    torch.nn.functional.interpolate in tests/test_transforms.py.
+
+    cv2.INTER_AREA (the previous proxy) is box filtering, NOT the same
+    kernel; this separable gather implementation reproduces the triangle
+    filter bit-for-bit in float32. uint8 inputs compute in float32 and
+    round half away from zero (torchvision's uint8 path is fixed-point and
+    documents itself within ±1 of the float path)."""
+    in_dtype = image.dtype
+    x = image.astype(np.float32, copy=False)
+    if x.ndim == 2:
+        x = x[..., None]
+        squeeze = True
+    else:
+        squeeze = False
+    js_h, w_h = _bilinear_taps(x.shape[0], out_h, antialias)
+    js_w, w_w = _bilinear_taps(x.shape[1], out_w, antialias)
+    # rows: (out_h, K, W, C) weighted-sum -> (out_h, W, C)
+    x = (x[js_h] * w_h[..., None, None]).sum(axis=1)
+    # cols: (out_h, out_w, K, C) -> (out_h, out_w, C)
+    x = (x[:, js_w] * w_w[None, ..., None]).sum(axis=2)
+    if squeeze:
+        x = x[..., 0]
+    if np.issubdtype(in_dtype, np.integer):
+        info = np.iinfo(in_dtype)
+        return np.clip(np.floor(x + 0.5), info.min, info.max).astype(in_dtype)
+    return x.astype(in_dtype, copy=False)
+
+
 def resize_shortest(sample: Dict, size: int, max_size: int = 1333,
                     antialias: bool = False) -> Dict:
     h, w = sample["image"].shape[:2]
@@ -37,10 +92,13 @@ def resize_shortest(sample: Dict, size: int, max_size: int = 1333,
     if max_size is not None:
         r = min(r, max_size / max(h, w))
     new_h, new_w = int(round(h * r)), int(round(w * r))
-    # the reference eval resize is antialiased (base_detector.py:75); for
-    # downscales INTER_AREA is cv2's antialiased path, INTER_LINEAR otherwise
-    interp = cv2.INTER_AREA if (antialias and r < 1.0) else cv2.INTER_LINEAR
-    image = cv2.resize(sample["image"], (new_w, new_h), interpolation=interp)
+    if antialias:
+        # eval path: exact torch-antialias bilinear (base_detector.py:75);
+        # sits on the mAP-parity critical path, so no cv2 proxy here
+        image = resize_bilinear(sample["image"], new_h, new_w, antialias=True)
+    else:
+        image = cv2.resize(sample["image"], (new_w, new_h),
+                           interpolation=cv2.INTER_LINEAR)
     boxes = sample["boxes"] * np.asarray(
         [new_w / w, new_h / h, new_w / w, new_h / h], np.float32
     )

@@ -179,20 +179,49 @@ class SqueezeExcitation(nn.Module):
 
 
 class ContextBlock(nn.Module):
-    """GCNet global-context block (basic.py:77-188; unused by shipped configs):
-    attention-pooled global context + channel transform added back."""
+    """GCNet global-context block (reference models/bricks/basic.py:77-188;
+    unused by shipped configs).
+
+    Full reference surface: pooling_type "attn" (1x1-conv softmax attention
+    pool) or "avg" (global mean), fusion_types any subset of
+    {"channel_add", "channel_mul"}; each fusion branch is a
+    Dense->LayerNorm->ReLU->Dense bottleneck whose FINAL layer is
+    zero-initialized so the block starts as identity (basic.py:136-141)."""
 
     channels: int
     ratio: float = 1.0 / 16
+    pooling_type: str = "attn"
+    fusion_types: tuple = ("channel_add",)
+
+    def _bottleneck(self, context: jnp.ndarray, name: str) -> jnp.ndarray:
+        hidden = max(int(self.channels * self.ratio), 1)
+        t = nn.Dense(hidden, name=f"{name}_1")(context)
+        t = nn.relu(nn.LayerNorm(name=f"{name}_norm")(t))
+        # zero-init final projection: the block is an identity at init
+        return nn.Dense(
+            self.channels,
+            name=f"{name}_2",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+        )(t)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # NHWC
+        assert self.pooling_type in ("attn", "avg")
+        assert self.fusion_types and all(
+            f in ("channel_add", "channel_mul") for f in self.fusion_types
+        )
         b, h, w, c = x.shape
-        logits = nn.Dense(1, name="conv_mask")(x).reshape(b, h * w)
-        attn = jax.nn.softmax(logits, axis=-1)
-        context = jnp.einsum("bn,bnc->bc", attn, x.reshape(b, h * w, c))
-        hidden = max(int(self.channels * self.ratio), 1)
-        t = nn.Dense(hidden, name="transform_1")(context)
-        t = nn.relu(nn.LayerNorm(name="transform_norm")(t))
-        t = nn.Dense(self.channels, name="transform_2")(t)
-        return x + t[:, None, None, :]
+        if self.pooling_type == "attn":
+            logits = nn.Dense(1, name="conv_mask")(x).reshape(b, h * w)
+            attn = jax.nn.softmax(logits, axis=-1)
+            context = jnp.einsum("bn,bnc->bc", attn, x.reshape(b, h * w, c))
+        else:
+            context = jnp.mean(x, axis=(1, 2))
+        out = x
+        if "channel_mul" in self.fusion_types:
+            m = nn.sigmoid(self._bottleneck(context, "channel_mul"))
+            out = out * m[:, None, None, :]
+        if "channel_add" in self.fusion_types:
+            out = out + self._bottleneck(context, "channel_add")[:, None, None, :]
+        return out

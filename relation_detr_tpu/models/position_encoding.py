@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import flax.linen as nn
 import jax.numpy as jnp
 
 
@@ -60,6 +61,46 @@ def position_embedding_sine(
         *pos_y.shape[:-1], -1
     )
     return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class PositionEmbeddingLearned(nn.Module):
+    """Learned absolute position embedding.
+
+    Spec: /root/reference/models/bricks/position_encoding.py:71-98 — separate
+    row/col embedding tables (uniform[0,1) init), indexed by pixel coordinate
+    and concatenated channel-wise as [col(x), row(y)] (note: the opposite
+    order from the sine encoding's [y, x]). Unused by the shipped configs but
+    part of the reference brick inventory.
+
+    Returns (B, H, W, 2*num_pos_feats) — NHWC, vs the reference's NCHW.
+    """
+
+    num_embeddings: int = 50
+    num_pos_feats: int = 256
+
+    @nn.compact
+    def __call__(self, mask: jnp.ndarray) -> jnp.ndarray:
+        b, h, w = mask.shape
+        row = self.param(
+            "row_embed",
+            nn.initializers.uniform(scale=1.0),
+            (self.num_embeddings, self.num_pos_feats),
+        )
+        col = self.param(
+            "col_embed",
+            nn.initializers.uniform(scale=1.0),
+            (self.num_embeddings, self.num_pos_feats),
+        )
+        x_emb = col[jnp.arange(w)]  # (W, F)
+        y_emb = row[jnp.arange(h)]  # (H, F)
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(x_emb[None, :, :], (h, w, self.num_pos_feats)),
+                jnp.broadcast_to(y_emb[:, None, :], (h, w, self.num_pos_feats)),
+            ],
+            axis=-1,
+        )
+        return jnp.broadcast_to(pos[None], (b, h, w, 2 * self.num_pos_feats))
 
 
 def get_sine_pos_embed(

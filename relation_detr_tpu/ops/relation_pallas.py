@@ -190,6 +190,11 @@ def _kernel_v4(src_ref, tgtt_ref, a_ref, bt_ref, wblk_ref, b_ref, out_ref, *,
         # make the ratio negative/inf -> log/sin NaN, and the block-diagonal
         # dot below would propagate it through its ZERO entries into valid
         # rows). Real cxcywh boxes have ratio in [0, ~1e5]: no-op for data.
+        # CAVEAT (ADVICE r4): this also rewrites NaN/Inf from genuinely
+        # corrupted boxes to finite biases on this v4 default path, while
+        # the v3/direct paths would NaN loudly — when debugging a
+        # path-dependent NaN discrepancy, the clamp-check/divergence
+        # guards are the canary, not this kernel.
         ratio = jnp.abs(c1 - c2) / (w1 + eps)
         ratio = jnp.where(ratio < 1e8, ratio, 1e8)  # NaN compares false
         ratio = jnp.where(ratio >= 0.0, ratio, 0.0)
@@ -295,6 +300,13 @@ def fused_relation_bias_v4(src_boxes, tgt_boxes, kernel, bias, embed_dim=16,
     VMEM (never materializing the (B, N1, N2, feats) tensor in HBM) and
     mixes the separable wh half as per-head MXU dots over folded per-box
     features. HBM traffic is the output plus O(N) per-box operands.
+
+    GRADIENT CONTRACT: src/tgt box gradients are ZERO by construction —
+    the relation-bias spec stop-gradients the boxes (reference
+    relation_transformer.py:527-529) and the in-tree caller
+    (models/relation.py) relies on that. Do NOT differentiate through the
+    box arguments expecting real gradients; use the v3/direct paths if a
+    future caller needs them (ADVICE r4).
     """
     return _v4_fwd(src_boxes, tgt_boxes, kernel, bias, embed_dim,
                    temperature, scale, eps)

@@ -63,6 +63,7 @@ class CocoEvaluator:
         # device forward in the pipelined eval stream (utils/evaluation.py)
         # instead of serializing into accumulate at the end.
         self._match_cache: Dict = {}
+        self._seen_imgs = set()
         self._img_cats_with_gts = defaultdict(set)
         for img_id, cat_id in self.gts:
             self._img_cats_with_gts[img_id].add(cat_id)
@@ -74,7 +75,17 @@ class CocoEvaluator:
             self.dets[(p["image_id"], p["category_id"])].append(p)
             self._match_cache.pop((p["image_id"], p["category_id"]), None)
 
-    def update_from_arrays(self, image_id: int, boxes_xyxy, scores, labels):
+    def update_from_arrays(
+        self, image_id: int, boxes_xyxy, scores, labels, skip_if_seen: bool = False
+    ):
+        # skip_if_seen dedups repeated WHOLE images (multi-host wraparound
+        # padding, or an image arriving again via the cross-process eval
+        # merge) — the reference dedups identically by unique img_ids at
+        # merge time (/root/reference/util/coco_eval.py:46-53). Default off:
+        # incremental per-image updates remain valid.
+        if skip_if_seen and image_id in self._seen_imgs:
+            return
+        self._seen_imgs.add(image_id)
         cats = set()
         for box, score, label in zip(boxes_xyxy, scores, labels):
             x0, y0, x1, y1 = [float(v) for v in box]

@@ -110,6 +110,73 @@ def detection_stream(det_fn, variables, loader, progress=None):
         yield pending[0], np.asarray(pending[1])
 
 
+def pack_local_detections(evaluator: CocoEvaluator) -> np.ndarray:
+    """Pack this process's accumulated detections into one (N, 7) float64
+    array [image_id, category_id, x, y, w, h, score] for the cross-process
+    gather (the reference pickles + all_gathers prediction lists,
+    /root/reference/util/utils.py:79-119 + util/coco_eval.py:46-53; a packed
+    array rides jax's allgather without object serialization)."""
+    rows = []
+    for (img_id, cat_id), dets in evaluator.dets.items():
+        for d in dets:
+            rows.append(
+                [float(img_id), float(cat_id)] + [float(v) for v in d["bbox"]]
+                + [d["score"]]
+            )
+    if not rows:
+        return np.zeros((0, 7), np.float64)
+    return np.asarray(rows, np.float64)
+
+
+def merge_packed_detections(evaluator: CocoEvaluator, packed_per_process) -> None:
+    """Merge other processes' packed detections into this evaluator.
+
+    Images this process already evaluated are skipped (update_from_arrays
+    dedups by image_id), matching the reference's unique-img_ids merge.
+    Detections are re-grouped per image and converted back to xyxy for
+    update_from_arrays.
+    """
+    from collections import defaultdict
+
+    per_img = defaultdict(list)
+    for packed in packed_per_process:
+        packed = np.asarray(packed)
+        for row in packed:
+            per_img[int(row[0])].append(row)
+    for img_id, rows in per_img.items():
+        arr = np.stack(rows)
+        xywh = arr[:, 2:6]
+        xyxy = np.stack(
+            [xywh[:, 0], xywh[:, 1], xywh[:, 0] + xywh[:, 2], xywh[:, 1] + xywh[:, 3]],
+            axis=-1,
+        )
+        evaluator.update_from_arrays(
+            img_id, xyxy, arr[:, 6], arr[:, 1].astype(np.int64),
+            skip_if_seen=True,
+        )
+
+
+def gather_detections_across_processes(evaluator: CocoEvaluator) -> None:
+    """All-gather every process's detections into every process's evaluator
+    so each host summarizes the full prediction set (multi-host eval parity
+    with /root/reference/util/coco_eval.py:46-53). No-op single-process."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    local = pack_local_detections(evaluator)
+    # shapes differ per process: gather counts first, pad to the max
+    n = multihost_utils.process_allgather(np.asarray([local.shape[0]]))
+    n = np.asarray(n).reshape(-1)
+    max_n = int(n.max())
+    padded = np.full((max_n, 7), -1.0, np.float64)
+    padded[: local.shape[0]] = local
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    packed = [gathered[p, : int(n[p])] for p in range(jax.process_count())
+              if p != jax.process_index()]
+    merge_packed_detections(evaluator, packed)
+
+
 def evaluate_model(
     model,
     variables,
@@ -140,8 +207,10 @@ def evaluate_model(
                 if batch["image_ids"][i] < 0:
                     continue
                 evaluator.update_from_arrays(
-                    int(batch["image_ids"][i]), boxes[i], scores[i], labels[i]
+                    int(batch["image_ids"][i]), boxes[i], scores[i],
+                    labels[i], skip_if_seen=True,
                 )
+        gather_detections_across_processes(evaluator)
         return evaluator.accumulate_and_summarize(verbose=verbose)
 
     det_fn = make_detections_fn(model, batch_size, topk)
@@ -152,6 +221,7 @@ def evaluate_model(
                 continue
             evaluator.update_from_arrays(
                 int(batch["image_ids"][i]), det[i, :, :4], det[i, :, 4],
-                det[i, :, 5].astype(np.int64),
+                det[i, :, 5].astype(np.int64), skip_if_seen=True,
             )
+    gather_detections_across_processes(evaluator)
     return evaluator.accumulate_and_summarize(verbose=verbose)

@@ -221,7 +221,7 @@ def main():
             if batch["image_ids"][i] < 0:
                 continue  # tail padding
             b = boxes[i]
-            evaluator.update_from_arrays(int(batch["image_ids"][i]), b, scores[i], labels[i])
+            evaluator.update_from_arrays(int(batch["image_ids"][i]), b, scores[i], labels[i], skip_if_seen=True)
             if args.show_dir:
                 _render_prediction(
                     dataset, int(batch["image_ids"][i]), b, scores[i],

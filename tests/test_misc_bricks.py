@@ -50,3 +50,62 @@ def test_deform_conv_zero_offsets_equal_dense_conv():
 def test_class_names_roundtrip():
     enc = encode_labels(COCO_CLASSES)
     assert decode_labels(enc) == COCO_CLASSES
+
+
+def test_context_block_identity_at_init():
+    """GCNet zero-inits each fusion branch's final conv (basic.py:136-141):
+    channel_add starts as identity, channel_mul as x*sigmoid(0)=0.5x."""
+    from relation_detr_tpu.models.layers import ContextBlock
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 6, 7, 16).astype(np.float32))
+    add = ContextBlock(channels=16, ratio=0.25)
+    out = add.apply(add.init(jax.random.key(0), x), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+    mul = ContextBlock(channels=16, ratio=0.25, pooling_type="avg",
+                       fusion_types=("channel_mul",))
+    out = mul.apply(mul.init(jax.random.key(0), x), x)
+    np.testing.assert_allclose(np.asarray(out), 0.5 * np.asarray(x), atol=1e-6)
+
+
+def test_context_block_matches_torch_oracle():
+    """Golden vs a transcription of ContextBlock (basic.py:77-188): attn
+    pooling + both fusions, weights copied across."""
+    from relation_detr_tpu.models.layers import ContextBlock
+
+    rng = np.random.RandomState(4)
+    C, hidden = 8, 4
+    x = rng.randn(2, 5, 6, C).astype(np.float32)
+    blk = ContextBlock(channels=C, ratio=0.5,
+                       fusion_types=("channel_add", "channel_mul"))
+    v = blk.init(jax.random.key(1), jnp.asarray(x))
+    # perturb the zero-init final layers so the test sees real transforms
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.1 * rng.randn(*a.shape).astype(np.float32), v["params"]
+    )
+    out = np.asarray(blk.apply({"params": params}, jnp.asarray(x)))
+
+    p = params
+    t_x = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+    b, c, h, w = t_x.shape
+    wm = torch.from_numpy(np.asarray(p["conv_mask"]["kernel"]))  # (C, 1)
+    bm = torch.from_numpy(np.asarray(p["conv_mask"]["bias"]))
+    logits = (t_x.permute(0, 2, 3, 1).reshape(b, h * w, c) @ wm).squeeze(-1) + bm
+    attn = torch.softmax(logits, dim=-1)
+    context = torch.einsum("bn,bnc->bc", attn, t_x.permute(0, 2, 3, 1).reshape(b, h * w, c))
+
+    def bottleneck(ctx, name):
+        w1 = torch.from_numpy(np.asarray(p[f"{name}_1"]["kernel"]))
+        b1 = torch.from_numpy(np.asarray(p[f"{name}_1"]["bias"]))
+        t = ctx @ w1 + b1
+        g = torch.from_numpy(np.asarray(p[f"{name}_norm"]["scale"]))
+        be = torch.from_numpy(np.asarray(p[f"{name}_norm"]["bias"]))
+        t = torch.nn.functional.layer_norm(t, (hidden,), g, be, eps=1e-6).relu()
+        w2 = torch.from_numpy(np.asarray(p[f"{name}_2"]["kernel"]))
+        b2 = torch.from_numpy(np.asarray(p[f"{name}_2"]["bias"]))
+        return t @ w2 + b2
+
+    ref = t_x * torch.sigmoid(bottleneck(context, "channel_mul"))[:, :, None, None]
+    ref = ref + bottleneck(context, "channel_add")[:, :, None, None]
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

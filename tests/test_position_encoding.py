@@ -93,3 +93,33 @@ def test_box_rel_encoding_matches_torch():
     delta_wh = torch.log((wh1.unsqueeze(-2) + 1e-5) / (wh2.unsqueeze(-3) + 1e-5))
     ref = torch.cat([delta_xy, delta_wh], -1).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_position_embedding_learned_matches_reference_semantics():
+    """PositionEmbeddingLearned (position_encoding.py:71-98): channels are
+    [col(x) feats, row(y) feats], constant across batch, indexed by pixel."""
+    import jax
+
+    from relation_detr_tpu.models.position_encoding import (
+        PositionEmbeddingLearned,
+    )
+
+    mod = PositionEmbeddingLearned(num_embeddings=50, num_pos_feats=8)
+    mask = jnp.zeros((2, 5, 7), bool)
+    v = mod.init(jax.random.key(0), mask)
+    out = np.asarray(mod.apply(v, mask))
+    assert out.shape == (2, 5, 7, 16)
+    row = np.asarray(v["params"]["row_embed"])
+    col = np.asarray(v["params"]["col_embed"])
+    # torch oracle: cat([x_emb repeated over rows, y_emb repeated over cols])
+    t_row, t_col = torch.from_numpy(row), torch.from_numpy(col)
+    x_emb = t_col[torch.arange(7)]
+    y_emb = t_row[torch.arange(5)]
+    ref = torch.cat(
+        [x_emb.unsqueeze(0).repeat(5, 1, 1), y_emb.unsqueeze(1).repeat(1, 7, 1)],
+        dim=-1,
+    ).numpy()
+    np.testing.assert_allclose(out[0], ref, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(out[1], ref, rtol=1e-6, atol=1e-6)
+    # uniform[0,1) init, matching nn.init.uniform_ defaults
+    assert 0.0 <= row.min() and row.max() < 1.0

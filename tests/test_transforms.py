@@ -283,3 +283,73 @@ def test_strong_album_preset_runs_and_keeps_valid_boxes():
             assert (out["boxes"][:, [0, 2]] <= w + 1e-3).all()
             assert (out["boxes"][:, [1, 3]] <= h + 1e-3).all()
             assert (out["boxes"] >= -1e-3).all()
+
+
+def test_resize_bilinear_matches_torch_antialias():
+    """Eval-resize parity (VERDICT r4 item 6): resize_bilinear must equal
+    torch F.interpolate(mode="bilinear", antialias=True/False,
+    align_corners=False) — the reference eval resize math
+    (base_detector.py:75) — in float32, across up/down/mixed scales."""
+    import torch
+    import torch.nn.functional as TF
+
+    from relation_detr_tpu.data.transforms import resize_bilinear
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((480, 640), (800, 1066)),   # classic COCO upscale
+        ((1024, 768), (800, 600)),   # downscale (antialias active)
+        ((333, 500), (800, 1201)),   # non-integer ratios
+        ((100, 100), (37, 251)),     # mixed up/down per axis
+        ((7, 9), (7, 9)),            # identity
+    ]
+    for (h, w), (oh, ow) in cases:
+        img = rng.rand(h, w, 3).astype(np.float32) * 255.0
+        t = torch.from_numpy(img).permute(2, 0, 1)[None]
+        for aa in (True, False):
+            ours = resize_bilinear(img, oh, ow, antialias=aa)
+            ref = TF.interpolate(
+                t, size=(oh, ow), mode="bilinear", align_corners=False,
+                antialias=aa,
+            )[0].permute(1, 2, 0).numpy()
+            # atol 0.02 on a 0-255 scale: the two implementations sum the
+            # separable taps in different orders; observed max |delta| is
+            # ~0.012 over 0.016% of pixels — 25x below the uint8
+            # quantization step this feeds
+            np.testing.assert_allclose(
+                ours, ref, rtol=1e-4, atol=2e-2,
+                err_msg=f"{(h, w)}->{(oh, ow)} antialias={aa}",
+            )
+
+
+def test_resize_bilinear_uint8_within_one_of_float_path():
+    """uint8 path: float compute + round must sit within ±1 of torch's float
+    result rounded (torchvision documents its uint8 kernel the same way)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from relation_detr_tpu.data.transforms import resize_bilinear
+
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (240, 320, 3), np.uint8)
+    ours = resize_bilinear(img, 800, 1066, antialias=True)
+    assert ours.dtype == np.uint8
+    t = torch.from_numpy(img).permute(2, 0, 1)[None].float()
+    ref = TF.interpolate(t, size=(800, 1066), mode="bilinear",
+                         align_corners=False, antialias=True)
+    ref = ref.round().clamp(0, 255).byte()[0].permute(1, 2, 0).numpy()
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_eval_preset_box_scaling_consistent_with_new_resize():
+    from relation_detr_tpu.data.transforms import resize_shortest
+
+    rng = np.random.RandomState(13)
+    sample = {
+        "image": rng.randint(0, 256, (200, 300, 3), np.uint8),
+        "boxes": np.asarray([[10.0, 20.0, 100.0, 150.0]], np.float32),
+        "labels": np.asarray([1]),
+    }
+    out = resize_shortest(sample, 100, 1333, antialias=True)
+    assert out["image"].shape[:2] == (100, 150)
+    np.testing.assert_allclose(out["boxes"], [[5.0, 10.0, 50.0, 75.0]])

@@ -290,7 +290,13 @@ def main():
             if profile_range and global_step == profile_range[0]:
                 jax.profiler.start_trace(os.path.join(output_dir, "profile"))
             state, metrics = step_fn(state, device_batch, rng)
-            if ema_step is not None:
+            # EMA tracks OPTIMIZER steps, not micro-steps: with gradient
+            # accumulation params only move every k micro-steps, so updating
+            # each micro-step would silently change the decay to decay^k
+            # vs the reference's EMA-per-optimizer-step semantics.
+            if ema_step is not None and (
+                global_step + 1
+            ) % args.accumulate_steps == 0:
                 ema_params = ema_step(ema_params, state.params)
             global_step += 1
             # per-step divergence stop: check the PREVIOUS step's counter
