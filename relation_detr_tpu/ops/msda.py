@@ -91,6 +91,33 @@ _MSDA_DEFAULTS = {
     # any batch size; measured -3.8 ms vs gather on the flagship at the old
     # per-tile form). "gather" = one lax.gather of nt slabs.
     "tiled_patch_mode": "slices",
+    # physical element order of the extracted patch slab (the RHS of the
+    # A @ patch MXU dot). XLA's layout assignment re-lays the slab out per
+    # (layer, level) when the slice-stack's natural order differs from the
+    # dot's preferred operand layout — a materialized copy of the full slab
+    # (~4.4 ms/iter at B=1, ~10 ms/image at B=4; round-5 hlo profile, the
+    # whole "B=4 regression"). Orders:
+    #   "yx": (B, nt, ph, pw, C)  — the natural order (default)
+    #   "xy": (B, nt, pw, ph, C)  — ph minor: matches the B=1 dot want
+    #   "bm": (nt, ph, pw, B, C)  — batch minor: matches the B>1 dot want
+    # MEASURED NEUTRAL (round 5, flagship): 42.2/42.6 ms B=1 yx/xy and
+    # 221.2/219.9/219.9 ms B=4 yx/bm/xy — XLA's layout assignment re-chooses
+    # its dot-operand layout against whatever order the producer emits and
+    # re-inserts the copy, so pre-arranging the slab buys nothing. Kept as
+    # the design record for the B>1 layout-copy investigation; the shipped
+    # fix for the B=4 regression is tiled_batch_unroll below.
+    "tiled_slab_order": "yx",
+    # unroll the tiled encoder op over the batch at trace time when B > 1:
+    # each slice runs the B=1 program, whose slab layouts XLA compiles
+    # copy-free (at B > 1 it re-lays out every (layer, level) patch slab
+    # for the dot — ~10 ms/image of materialized reshapes on the round-5
+    # B=4 profile — and no slab element order avoids that; see
+    # tiled_slab_order). Trades ~B x encoder HLO size (compile time, cached)
+    # for per-image parity with the measured-fast B=1 path.
+    # DEFAULT OFF: under a sharded (pjit) batch, slicing the data axis would
+    # serialize the mesh (each B=1 slice lives on one device). Single-device
+    # eval drivers enable it at trace time (utils/evaluation.py, bench.py).
+    "tiled_batch_unroll": False,
     # tiled prep layout: "t_minor" transposes T to the minor dim;
     # "t_major" keeps the take's natural order with no transposes
     "tiled_layout": "t_minor",
@@ -165,7 +192,13 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_layout=None, decoder_prepack=None,
                       tiled_overflow=None, tiled_patch_mode=None,
                       tiled_sep_kernel=None, tiled_dot_bf16=None,
-                      tiled_slab_kernel=None):
+                      tiled_slab_kernel=None, tiled_slab_order=None,
+                      tiled_batch_unroll=None):
+    if tiled_slab_order is not None:
+        assert tiled_slab_order in ("auto", "yx", "xy", "bm")
+        _MSDA_DEFAULTS["tiled_slab_order"] = tiled_slab_order
+    if tiled_batch_unroll is not None:
+        _MSDA_DEFAULTS["tiled_batch_unroll"] = bool(tiled_batch_unroll)
     if tiled_dot_bf16 is not None:
         _MSDA_DEFAULTS["tiled_dot_bf16"] = (
             "auto" if tiled_dot_bf16 == "auto" else bool(tiled_dot_bf16)
@@ -230,13 +263,15 @@ def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   dense_level_rows=None, tiled_layout=None,
                   decoder_prepack=None, tiled_overflow=None,
                   tiled_patch_mode=None, tiled_sep_kernel=None,
-                  tiled_dot_bf16=None, tiled_slab_kernel=None):
+                  tiled_dot_bf16=None, tiled_slab_kernel=None,
+                  tiled_slab_order=None, tiled_batch_unroll=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
                       tiled_layout, decoder_prepack, tiled_overflow,
                       tiled_patch_mode, tiled_sep_kernel, tiled_dot_bf16,
-                      tiled_slab_kernel)
+                      tiled_slab_kernel, tiled_slab_order,
+                      tiled_batch_unroll)
     try:
         yield
     finally:
@@ -492,11 +527,11 @@ def _perm_untile(x, inv, perm, valid, axis=1):
     return f(x)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _slice_patches(vl, y0u, x0u, ph, pw):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _slice_patches(vl, y0u, x0u, ph, pw, order="yx"):
     """Band-grid window extraction from one level canvas, any batch size.
 
-    vl (B, h, w, C) -> (B, nt, ph, pw, C) with nt = len(y0u) * len(x0u) in
+    vl (B, h, w, C) -> the patch slab with nt = len(y0u) * len(x0u) tiles in
     row-major tile order. Tile origins form a separable (row, col) grid
     (`_TileGeometry.patch_grid`), so instead of nt per-tile slices — whose
     tiny per-tile reshape+update chains cost ~1.6 ms/iter of HLO self time
@@ -507,28 +542,67 @@ def _slice_patches(vl, y0u, x0u, ph, pw):
     gather on the flagship forward; the stack-of-slices VJP is windowed
     scatter-add (the custom backward below), not nt full-canvas pad+adds
     (measured 1.34 s/train-step).
+
+    `order` picks the slab's ELEMENT ORDER (see tiled_slab_order in
+    _MSDA_DEFAULTS): the same windows, pre-arranged so XLA's dot layout
+    assignment does not re-materialize the slab per (layer, level):
+      "yx": (B, nt, ph, pw, C)
+      "xy": (B, nt, pw, ph, C)   transposed canvas, x slices innermost
+      "bm": (nt, ph, pw, B, C)   batch-minor canvas
     """
     bsz, h, w, c = vl.shape
     gy, gx = len(y0u), len(x0u)
+    if order == "yx":
+        rows = jnp.stack(
+            [jax.lax.slice(vl, (0, y0, 0, 0), (bsz, y0 + ph, w, c))
+             for y0 in y0u],
+            axis=1,
+        )  # (B, gy, ph, w, C)
+        cols = jnp.stack(
+            [
+                jax.lax.slice(rows, (0, 0, 0, x0, 0), (bsz, gy, ph, x0 + pw, c))
+                for x0 in x0u
+            ],
+            axis=2,
+        )  # (B, gy, gx, ph, pw, C)
+        return cols.reshape(bsz, gy * gx, ph, pw, c)
+    if order == "xy":
+        vt = jnp.swapaxes(vl, 1, 2)  # (B, w, h, C) — one small transpose
+        rows = jnp.stack(
+            [jax.lax.slice(vt, (0, 0, y0, 0), (bsz, w, y0 + ph, c))
+             for y0 in y0u],
+            axis=1,
+        )  # (B, gy, w, ph, C)
+        cols = jnp.stack(
+            [
+                jax.lax.slice(rows, (0, 0, x0, 0, 0), (bsz, gy, x0 + pw, ph, c))
+                for x0 in x0u
+            ],
+            axis=2,
+        )  # (B, gy, gx, pw, ph, C)
+        return cols.reshape(bsz, gy * gx, pw, ph, c)
+    assert order == "bm"
+    vt = jnp.transpose(vl, (1, 2, 0, 3))  # (h, w, B, C)
     rows = jnp.stack(
-        [jax.lax.slice(vl, (0, y0, 0, 0), (bsz, y0 + ph, w, c)) for y0 in y0u],
-        axis=1,
-    )  # (B, gy, ph, w, C)
+        [jax.lax.slice(vt, (y0, 0, 0, 0), (y0 + ph, w, bsz, c))
+         for y0 in y0u],
+        axis=0,
+    )  # (gy, ph, w, B, C)
     cols = jnp.stack(
         [
-            jax.lax.slice(rows, (0, 0, 0, x0, 0), (bsz, gy, ph, x0 + pw, c))
+            jax.lax.slice(rows, (0, 0, x0, 0, 0), (gy, ph, x0 + pw, bsz, c))
             for x0 in x0u
         ],
-        axis=2,
-    )  # (B, gy, gx, ph, pw, C)
-    return cols.reshape(bsz, gy * gx, ph, pw, c)
+        axis=1,
+    )  # (gy, gx, ph, pw, B, C)
+    return cols.reshape(gy * gx, ph, pw, bsz, c)
 
 
-def _slice_patches_fwd(vl, y0u, x0u, ph, pw):
-    return _slice_patches(vl, y0u, x0u, ph, pw), vl.shape
+def _slice_patches_fwd(vl, y0u, x0u, ph, pw, order="yx"):
+    return _slice_patches(vl, y0u, x0u, ph, pw, order), vl.shape
 
 
-def _slice_patches_bwd(y0u, x0u, ph, pw, shape, g):
+def _slice_patches_bwd(y0u, x0u, ph, pw, order, shape, g):
     # windowed accumulate in a Pallas kernel: lax.scatter_add lowers to a
     # SERIAL while of nt read-modify-write dynamic-update-slices
     # (~30 ms/train-step across the encoder; hlo_stats-profiled), the
@@ -538,6 +612,10 @@ def _slice_patches_bwd(y0u, x0u, ph, pw, shape, g):
     # overlapping window).
     from relation_detr_tpu.ops.patch_scatter import window_accumulate
 
+    if order == "xy":  # (B, nt, pw, ph, C) -> (B, nt, ph, pw, C)
+        g = jnp.swapaxes(g, 2, 3)
+    elif order == "bm":  # (nt, ph, pw, B, C) -> (B, nt, ph, pw, C)
+        g = jnp.transpose(g, (3, 0, 1, 2, 4))
     y0s = np.repeat(np.asarray(y0u, np.int32), len(x0u))
     x0s = np.tile(np.asarray(x0u, np.int32), len(y0u))
     d = jnp.stack([
@@ -553,11 +631,23 @@ def _slice_patches_bwd(y0u, x0u, ph, pw, shape, g):
 _slice_patches.defvjp(_slice_patches_fwd, _slice_patches_bwd)
 
 
-@jax.custom_vjp
-def _sep_contract(oy, ox, patch):
+# einsum subscripts per slab order: (forward, d_A-from-g, d_patch)
+_SEP_SUBS = {
+    "yx": ("bnhyxt,bnyxhd->bnhdt", "bnhdt,bnyxhd->bnhyxt",
+           "bnhyxt,bnhdt->bnyxhd"),
+    "xy": ("bnhyxt,bnxyhd->bnhdt", "bnhdt,bnxyhd->bnhyxt",
+           "bnhyxt,bnhdt->bnxyhd"),
+    "bm": ("bnhyxt,nyxbhd->bnhdt", "bnhdt,nyxbhd->bnhyxt",
+           "bnhyxt,bnhdt->nyxbhd"),
+}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sep_contract(oy, ox, patch, order="yx"):
     """out[t,d] = sum_{p,y,x} oy[p,y,t]*ox[p,x,t]*patch[y,x,d] (batched).
 
-    oy (B,nt,H,P,ph,T), ox (B,nt,H,P,pw,T), patch (B,nt,ph,pw,H,D) ->
+    oy (B,nt,H,P,ph,T), ox (B,nt,H,P,pw,T), patch in `order`'s layout
+    ((B,nt,ph,pw,H,D) / (B,nt,pw,ph,H,D) / (nt,ph,pw,B,H,D)) ->
     (B,nt,H,D,T). The forward builds A = sum_p oy_p (x) ox_p as P fused
     rank-1 accumulations and contracts it on the MXU. The custom backward
     exists because reverse-mode autodiff of the P-sum materializes
@@ -565,6 +655,8 @@ def _sep_contract(oy, ox, patch):
     at flagship scale — measured 1.34 s/train-step vs 374 ms before the
     separable build). Here the backward is two A-sized einsums plus two
     fused VPU broadcast-reductions of exactly the forward A-build cost.
+    The `order` variants are bitwise-identical math — only the slab's
+    physical element order changes (see tiled_slab_order).
     """
     a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
     a, patch = _boundary_cast(a, patch)  # TPU: rounding the MXU does anyway
@@ -578,19 +670,19 @@ def _sep_contract(oy, ox, patch):
     # accumulator pays; the caller sums all levels in this layout and
     # transposes once.
     return jnp.einsum(
-        "bnhyxt,bnyxhd->bnhdt", a, patch, preferred_element_type=jnp.float32
+        _SEP_SUBS[order][0], a, patch, preferred_element_type=jnp.float32
     )
 
 
-def _sep_contract_fwd(oy, ox, patch):
-    return _sep_contract(oy, ox, patch), (oy, ox, patch)
+def _sep_contract_fwd(oy, ox, patch, order="yx"):
+    return _sep_contract(oy, ox, patch, order), (oy, ox, patch)
 
 
-def _sep_contract_bwd(res, g):
+def _sep_contract_bwd(order, res, g):
     oy, ox, patch = res  # g (B,nt,H,D,T)
     g_c, patch_c = _boundary_cast(g, patch)
     da = jnp.einsum(
-        "bnhdt,bnyxhd->bnhyxt", g_c, patch_c,
+        _SEP_SUBS[order][1], g_c, patch_c,
         preferred_element_type=jnp.float32,
     )  # (B,nt,H,ph,pw,T)
     d_oy = jnp.sum(
@@ -602,7 +694,7 @@ def _sep_contract_bwd(res, g):
     a = jnp.sum(oy[..., :, None, :] * ox[..., None, :, :], axis=3)
     a_c, g_c = _boundary_cast(a, g)
     d_patch = jnp.einsum(
-        "bnhyxt,bnhdt->bnyxhd", a_c, g_c, preferred_element_type=jnp.float32
+        _SEP_SUBS[order][2], a_c, g_c, preferred_element_type=jnp.float32
     )
     # cotangent dtypes must match the primals (bf16 under --msda-dtype bf16)
     return (d_oy.astype(oy.dtype), d_ox.astype(ox.dtype),
@@ -654,6 +746,25 @@ def _msda_tiled(
     otherwise.
     """
     in_dtype = value.dtype
+    if value.shape[0] > 1 and _MSDA_DEFAULTS.get("tiled_batch_unroll", False):
+        # trace-time unroll over the batch: each slice compiles as the B=1
+        # program, which XLA lays out copy-free (see tiled_batch_unroll)
+        return jnp.concatenate(
+            [
+                _msda_tiled(
+                    value[b:b + 1],
+                    spatial_shapes,
+                    sampling_locations[b:b + 1],
+                    attention_weights[b:b + 1],
+                    gather_dtype,
+                    tile_tokens,
+                    halos,
+                    use_pallas,
+                )
+                for b in range(value.shape[0])
+            ],
+            axis=0,
+        )
     sampling_locations = sampling_locations.astype(jnp.float32)
     attention_weights = attention_weights.astype(jnp.float32)
     bs, total_v, num_heads, head_dim = value.shape
@@ -710,6 +821,16 @@ def _msda_tiled(
         loc_t = jnp.transpose(loc_t, (0, 1, 3, 4, 5, 6, 2))  # (B,nt,H,L,P,2,T)
         attn_t = jnp.transpose(attn_t, (0, 1, 3, 4, 5, 2))  # (B,nt,H,L,P,T)
 
+    # slab element order: only the default separable-slices branch consumes
+    # non-"yx" slabs (the Pallas/t_major/slab-kernel branches index flat M)
+    slab_order = _MSDA_DEFAULTS.get("tiled_slab_order", "auto")
+    if slab_order == "auto":
+        slab_order = "xy" if bs == 1 else "bm"
+    if (use_pallas or t_major or _MSDA_DEFAULTS.get("tiled_sep_kernel")
+            or _tiled_slab_kernel_enabled()
+            or _MSDA_DEFAULTS.get("tiled_patch_mode") != "slices"):
+        slab_order = "yx"
+
     vflat = value.astype(gather_dtype).reshape(bs, total, num_heads * head_dim)
     out = jnp.zeros((bs, nt, T, num_heads, head_dim), jnp.float32)
     # default separable branch: per-level (B,nt,H,D,T) pieces, summed in ONE
@@ -730,8 +851,10 @@ def _msda_tiled(
             # the bytes and the separate convert/copy passes disappear
             y0u, x0u = geo.patch_grid[lvl]
             patch = _slice_patches(
-                vl.astype(tiled_dtype), y0u, x0u, ph, pw
-            ).reshape(bs, nt, ph * pw, num_heads * head_dim)
+                vl.astype(tiled_dtype), y0u, x0u, ph, pw, slab_order
+            )
+            if slab_order == "yx":
+                patch = patch.reshape(bs, nt, ph * pw, num_heads * head_dim)
         elif bs == 1:
             # transpose-free path: gather straight into (nt, Ph, Pw, C)
             dnums = jax.lax.GatherDimensionNumbers(
@@ -835,6 +958,11 @@ def _msda_tiled(
             # the E=4P corner entries is ANOTHER tiny triangular matmul —
             # jnp.cumsum(axis=-2) here lowered to a full reduce_window_sum
             # (E x the traffic, 4.9 ms/iter on the flagship profile).
+            # ROUND-5 NEGATIVE RESULT: replacing this one-hot compaction
+            # with one lax.top_k over the E*T lanes (weight-keyed) measured
+            # 82.8 ms vs 50.2 on the flagship (fast halos + of8) — TPU
+            # top_k lowers to sorts that cost far more than the ~69 MB of
+            # masked reductions it saves. The one-hot design stays.
             bad_i = bad_all.astype(jnp.float32)
             E = bad_i.shape[-2]
             count_t = jnp.sum(bad_i, axis=-2)  # (B,nt,H,T)
@@ -1042,12 +1170,19 @@ def _msda_tiled(
                 # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products,
                 # fused into the MXU contraction; custom VJP keeps the
                 # backward at A-sized einsums (see _sep_contract)
+                if slab_order == "yx":
+                    patch6 = patch.astype(tiled_dtype).reshape(
+                        bs, nt, ph, pw, num_heads, head_dim
+                    )
+                else:  # already tiled_dtype; head-split is a free reshape
+                    patch6 = patch.reshape(
+                        patch.shape[:-1] + (num_heads, head_dim)
+                    )
                 contrib = _sep_contract(
                     oy.astype(tiled_dtype),
                     ox.astype(tiled_dtype),
-                    patch.astype(tiled_dtype).reshape(
-                        bs, nt, ph, pw, num_heads, head_dim
-                    ),
+                    patch6,
+                    slab_order,
                 )
                 parts.append(contrib)  # (B,nt,H,D,T)
         if residual is not None:  # (B,nt,H,T,D)

@@ -26,7 +26,17 @@ def make_eval_fwd(model, batch_size: int):
         from relation_detr_tpu.parallel.train_step import make_eval_step
 
         return make_eval_step(model, create_mesh())
-    return jax.jit(lambda v, x, m: model.apply(v, x, m, train=False))
+
+    def fwd(v, x, m):
+        # single-device eval: unroll the tiled encoder over the batch at
+        # trace time (the B>1 slab layout copies cost ~10 ms/image,
+        # PERF.md round 5; unrolling is unsafe only under a sharded batch)
+        from relation_detr_tpu.ops.msda import msda_defaults
+
+        with msda_defaults(tiled_batch_unroll=True):
+            return model.apply(v, x, m, train=False)
+
+    return jax.jit(fwd)
 
 
 def make_detections_fn(model, batch_size: int, topk: int):
@@ -38,7 +48,17 @@ def make_detections_fn(model, batch_size: int, topk: int):
     caller overlap the next batch's device work with this batch's host-side
     COCO accumulation (see `detection_stream`)."""
 
+    multi_dev = len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0
+
     def det_fn(variables, images, mask, orig_sizes):
+        from relation_detr_tpu.ops.msda import msda_defaults
+
+        # single-device batches: trace-time batch unroll of the tiled
+        # encoder (PERF.md round 5); never under a sharded batch
+        with msda_defaults(tiled_batch_unroll=not multi_dev):
+            return _det_fn_body(variables, images, mask, orig_sizes)
+
+    def _det_fn_body(variables, images, mask, orig_sizes):
         if images.dtype == jnp.uint8:
             # device-side normalization (EvalPreset(normalize_host=False)):
             # identical math to transforms.normalize, with padding forced to
