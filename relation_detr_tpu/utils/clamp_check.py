@@ -151,20 +151,27 @@ def check_and_select_profile(
     threshold: float = 1e-3,
     fast_threshold: float = 1e-6,
     halos_forced: bool = False,
-    allow_fast: bool = False,
+    allow_fast: bool = True,
     force: bool = False,
 ) -> Optional[str]:
     """One captured forward: report the clamp fraction at the active halos
     (failing loudly per ``check_checkpoint_clamp`` semantics) and, when
     ``allow_fast`` and the checkpoint's measured offsets stay within the
-    fast halos, switch the framework defaults to the reduced-halo profile
-    (halos (4,3,2,2) + overflow-8 side channel as safety for images beyond
-    the sample). ``allow_fast`` defaults OFF since round 3b: the separable
-    A-build made the exact default (auto halos, margin 1) FASTER than the
-    reduced-halo profile with its safety channel (48.5 vs 60.1 ms, PERF.md)
-    — the switch survives for explicit opt-in (--msda-profile fast) and for
-    future kernels where the overflow channel is cheap. Returns
-    "fast"/"exact"/None (tiled route inactive).
+    fast halos, switch the framework defaults to the reduced-halo profile:
+    halos (4,3,2,2) with NO overflow channel.
+
+    Round-5 economics (flagship, queued): fast halos + overflow 0 run
+    35.1 ms vs the exact default's 42.5 — but every overflow-channel
+    design measured has eaten the margin and more (one-hot compaction
+    50.2 ms, top_k compaction 82.8; PERF.md rounds 3b/5), so the guarded
+    variant is never worth running. The gate is therefore the measured
+    fraction itself: the switch only engages when the checkpoint's
+    attention-weighted out-of-halo fraction on the probe batch is
+    <= ``fast_threshold`` (1e-6). Unmeasured images can still stray past
+    the halo; those corners border-clamp, with error bounded by the same
+    attention-weight scale the gate just measured. Set tiled_overflow
+    explicitly (ops.msda.set_msda_defaults) to trade speed back for the
+    exact side channel. Returns "fast"/"exact"/None (tiled route inactive).
     """
     if not force:
         if _MSDA_DEFAULTS["impl"] not in ("auto", "auto_xla", "auto_pallas",
@@ -200,12 +207,13 @@ def check_and_select_profile(
     if fast_worst <= fast_threshold:
         from relation_detr_tpu.ops.msda import set_msda_defaults
 
-        set_msda_defaults(tiled_halos=FAST_HALOS, tiled_overflow=8)
+        set_msda_defaults(tiled_halos=FAST_HALOS, tiled_overflow=0)
         logger.info(
             "fast MSDA profile auto-selected: this checkpoint's measured "
-            "sampling corners all fall within halos %s (fraction %.1e); "
-            "overflow capacity 8 guards unmeasured images. Force "
-            "--msda-profile exact to disable.", FAST_HALOS, fast_worst,
+            "sampling corners all fall within halos %s (attention-weighted "
+            "fraction %.1e <= 1e-6); strays on unmeasured images "
+            "border-clamp. Force --msda-profile exact to disable.",
+            FAST_HALOS, fast_worst,
         )
         return "fast"
     logger.info(

@@ -69,16 +69,16 @@ def parse_args():
     p.add_argument("--clamp-threshold", type=float, default=1e-3)
     p.add_argument("--msda-profile", default="auto",
                    choices=("auto", "exact", "fast"),
-                   help="auto/exact (default): stay on the default tiled "
-                        "profile (auto halos + margin 1 — init-exact and "
-                        "the fastest measured profile, 48.5 ms/img on the "
-                        "flagship; PERF.md round-3b) and report this "
-                        "checkpoint's clamp fraction at load; fast: force "
-                        "the reduced-halo profile (halos 4,3,2,2 + "
-                        "overflow-8 exact side channel, 60.1 ms — only "
-                        "useful if a future kernel makes the side channel "
-                        "cheap; the clamp check still errors if it would "
-                        "clamp this checkpoint)")
+                   help="auto (default): measure this checkpoint's clamp "
+                        "fraction at load and switch to the reduced-halo "
+                        "profile (halos 4,3,2,2, no overflow channel — "
+                        "35.1 vs 42.5 ms/img on the flagship, PERF.md "
+                        "round 5) when the measured attention-weighted "
+                        "fraction is <= 1e-6; exact: always stay on the "
+                        "init-exact default (auto halos + margin 1); fast: "
+                        "force the reduced-halo profile (the clamp check "
+                        "still errors if it would clamp this checkpoint "
+                        "above --clamp-threshold)")
     return p.parse_args()
 
 
@@ -171,7 +171,7 @@ def main():
             from relation_detr_tpu.ops.msda import set_msda_defaults
             from relation_detr_tpu.utils.clamp_check import FAST_HALOS
 
-            set_msda_defaults(tiled_halos=FAST_HALOS, tiled_overflow=8)
+            set_msda_defaults(tiled_halos=FAST_HALOS, tiled_overflow=0)
         if args.clamp_check != "off":
             # one captured forward on the first batch: log the checkpoint's
             # tiled-kernel clamp fraction, fail loudly if the user forced
@@ -188,8 +188,9 @@ def main():
                     halos_forced=(bool(args.msda_halos)
                                   and args.msda_halos != "auto")
                     or args.msda_profile == "fast",
-                    allow_fast=False,  # default profile is the fastest
-                    # measured exact profile since round 3b (PERF.md)
+                    # auto-select fast halos + overflow 0 when the measured
+                    # fraction is <= 1e-6 (35.1 vs 42.5 ms, PERF.md round 5)
+                    allow_fast=args.msda_profile == "auto",
                     force=args.clamp_check == "on",
                 )
 

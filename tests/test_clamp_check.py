@@ -100,5 +100,8 @@ def test_profile_auto_selection(tiny_model):
             model, v2, images, mask, force=True, allow_fast=True)
         assert sel == "fast"
         assert tuple(_MSDA_DEFAULTS["tiled_halos"]) == FAST_HALOS
-        assert _MSDA_DEFAULTS["tiled_overflow"] == 8
+        # round 5: the fast profile drops the overflow channel — every
+        # channel design measured costs more than the halo reduction saves
+        # (PERF.md); the gate is the measured <=1e-6 clamp fraction itself
+        assert _MSDA_DEFAULTS["tiled_overflow"] == 0
     assert _MSDA_DEFAULTS["tiled_halos"] == "auto"  # restored

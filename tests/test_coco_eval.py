@@ -90,6 +90,104 @@ def test_update_from_arrays_xyxy(tiny_coco):
 
 
 # ---------------------------------------------------------------------------
+# Frozen analytic golden (round-5 verdict item 8): a small scene whose 12
+# COCO stats are derived BY HAND below — independent of both this package's
+# vectorized evaluator and the brute-force transcription further down, and
+# checkable against real pycocotools offline. Every IoU in the scene is
+# exactly 1 or 0, so all 10 IoU thresholds coincide and the numbers reduce
+# to 101-point interpolation arithmetic. Exercises: greedy one-to-one
+# matching (a duplicate detection of an already-matched gt is FP), crowd
+# gts (det-area-normalized IoU; matching one IGNORES the det, no FP),
+# detections matched to area-range-ignored gts (ignored, not FP), unmatched
+# detections with area outside the range (ignored), and maxDets prefixes.
+#
+# Scene (xywh):
+#   img1: g1 cat1 [0,0,20,20]   area 400   (small)
+#         g5 cat1 [300,300,30,30] area 900 (small)
+#         g3 cat2 [200,200,120,120] area 14400 (large)
+#   img2: g2 cat1 [100,100,60,60] area 3600 (medium)
+#         g4 cat2 [0,0,100,100] area 10000, iscrowd=1
+#   dets: d1 cat1 img1 =g1   s.9 TP | d3 cat1 img1 far, area 400, s.8 FP
+#         d2 cat1 img2 =g2   s.6 TP | d8 cat1 img1 =g5 s.55 TP
+#         d4 cat1 img1 =g1   s.5  FP (g1 taken by d1)
+#         d5 cat2 img1 =g3   s.7 TP | d6 cat2 img2 inside g4 (crowd IoU=1,
+#         ignored) s.4 | d7 cat2 img2 far, area 900, s.3 FP
+#
+# cat1 (all areas, maxDet 100): ranked d1 TP, d3 FP, d2 TP, d8 TP, d4 FP
+#   -> rc (1/3,1/3,2/3,1,1), pr (1,.5,2/3,.75,.6), envelope (1,.75,.75,.75,.6)
+#   -> 101-pt: 34 thresholds (r<=0.33) read 1.0, 67 read 0.75
+#   -> AP_cat1 = (34 + 67*0.75)/101 = 0.83415841...
+# cat2: d5 TP then d7 FP over 1 gt -> AP_cat2 = 1. AP = mean = 0.91707920...
+# APs: only cat1 has small gts (g1,g5; g2 ignored -> d2 matches an ignored
+#   gt -> ignored): ranked d1 TP, d3 FP, d8 TP, d4 FP over 2 gts
+#   -> rc (.5,.5,1,1), pr (1,.5,2/3,.5), env (1,2/3,2/3,.5)
+#   -> (51*1 + 50*2/3)/101 = 0.83498349...
+# APm: cat1 only (g2): d2 TP alone (d1/d8 match ignored gts; d3/d4 out of
+#   area) -> 1.0.  APl: cat2 only (g3): d5 TP; d6 crowd-ignored; d7 out of
+#   area -> 1.0.
+# AR1 (top-1 det per image): cat1 keeps d1 (img1) + d2 (img2) -> 2/3 recall;
+#   cat2 keeps d5 + d6(ignored) -> 1. AR1 = (2/3+1)/2 = 5/6.
+# Everything else reaches full recall -> 1.0.
+# ---------------------------------------------------------------------------
+def test_hand_derived_golden_stats(tmp_path):
+    images = [{"id": 1, "width": 640, "height": 480},
+              {"id": 2, "width": 640, "height": 480}]
+    annotations = [
+        {"id": 1, "image_id": 1, "category_id": 1, "bbox": [0, 0, 20, 20],
+         "area": 400.0, "iscrowd": 0},
+        {"id": 2, "image_id": 2, "category_id": 1, "bbox": [100, 100, 60, 60],
+         "area": 3600.0, "iscrowd": 0},
+        {"id": 3, "image_id": 1, "category_id": 2,
+         "bbox": [200, 200, 120, 120], "area": 14400.0, "iscrowd": 0},
+        {"id": 4, "image_id": 2, "category_id": 2, "bbox": [0, 0, 100, 100],
+         "area": 10000.0, "iscrowd": 1},
+        {"id": 5, "image_id": 1, "category_id": 1, "bbox": [300, 300, 30, 30],
+         "area": 900.0, "iscrowd": 0},
+    ]
+    cats = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    ann_file = tmp_path / "golden.json"
+    ann_file.write_text(json.dumps(
+        {"images": images, "annotations": annotations, "categories": cats}))
+    ev = CocoEvaluator(str(ann_file))
+    ev.update([
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 20, 20],
+         "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [400, 400, 20, 20],
+         "score": 0.8},
+        {"image_id": 2, "category_id": 1, "bbox": [100, 100, 60, 60],
+         "score": 0.6},
+        {"image_id": 1, "category_id": 1, "bbox": [300, 300, 30, 30],
+         "score": 0.55},
+        {"image_id": 1, "category_id": 1, "bbox": [0, 0, 20, 20],
+         "score": 0.5},
+        {"image_id": 1, "category_id": 2, "bbox": [200, 200, 120, 120],
+         "score": 0.7},
+        {"image_id": 2, "category_id": 2, "bbox": [10, 10, 50, 50],
+         "score": 0.4},
+        {"image_id": 2, "category_id": 2, "bbox": [500, 400, 30, 30],
+         "score": 0.3},
+    ])
+    stats = ev.accumulate_and_summarize(verbose=False)
+    ap_cat1 = (34 + 67 * 0.75) / 101
+    golden = {
+        "AP": (ap_cat1 + 1.0) / 2,
+        "AP50": (ap_cat1 + 1.0) / 2,
+        "AP75": (ap_cat1 + 1.0) / 2,
+        "APs": (51 + 50 * (2 / 3)) / 101,
+        "APm": 1.0,
+        "APl": 1.0,
+        "AR1": 5 / 6,
+        "AR10": 1.0,
+        "AR100": 1.0,
+        "ARs": 1.0,
+        "ARm": 1.0,
+        "ARl": 1.0,
+    }
+    for k, v in golden.items():
+        assert stats[k] == pytest.approx(v, abs=1e-6), (k, stats[k], v)
+
+
+# ---------------------------------------------------------------------------
 # Property test: randomized scenes vs a literal transcription of the
 # pycocotools greedy matcher (triple loop, obviously-correct-by-inspection).
 # Stress cases: crowd gts (expand IoU), area-range ignores, score ties,
