@@ -70,7 +70,12 @@ _MSDA_DEFAULTS = {
     # margin 2 on the flagship.
     "tiled_dtype": "auto",
     "tiled_halos": "auto",
-    "tiled_tile_tokens": (10, 8),
+    # (12,8) = 96 tokens/tile: T-minor tensors pad 96->128 lanes (1.33x)
+    # instead of (10,8)'s 80->128 (1.6x). Round-5 flagship sweep (queued
+    # ms): (12,8) 39.7 / (10,8) 42.2 / (24,8) 40.6 / (12,10) 48.4 /
+    # (14,8) 58.3 / (16,8) 57.2 (round 3d) — the sweep is nonmonotonic in
+    # T, so treat geometry as empirical per-hardware tuning.
+    "tiled_tile_tokens": (12, 8),
     "tiled_margin": 1,
     # corner_pack levels with <= this many rows use a one-hot MXU matmul
     # instead of a row gather (exact; beats the issue-bound gather there)
