@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# documented proxy, NOT a measurement — see BASELINE.md "Provenance +
+# uncertainty of the 22.0 img/s A100 proxy" for basis + uncertainty band
 A100_PROXY_IMG_PER_SEC = 22.0
 V5E_PEAK_BF16_FLOPS = 197e12  # per-chip MXU peak (bf16 multiply, f32 acc)
 
@@ -113,6 +115,8 @@ def main():
     # train step at the REAL loader capacity (MAX_GT=100 -> 600-row hybrid
     # buffer), B=1, shipped defaults (round-4 verdict item 2)
     train_ms = None
+    train16_ms = None
+    train_flops_g = None
     try:
         import optax
 
@@ -145,6 +149,14 @@ def main():
         )
         sb = shard_batch(mesh, tb)
         key = jax.random.key(0)
+        try:  # train-step FLOPs for the train MFU report (VERDICT r4 #3)
+            tcost = step.lower(state, sb, key).compile().cost_analysis()
+            if isinstance(tcost, (list, tuple)):
+                tcost = tcost[0]
+            v = float(tcost.get("flops", float("nan"))) / 1e9
+            train_flops_g = v if np.isfinite(v) else None
+        except Exception:
+            train_flops_g = None
         state, m = step(state, sb, key)
         float(m["total_loss"])  # compile
         state, m = step(state, sb, key)
@@ -156,6 +168,25 @@ def main():
             state, m = step(state, sb, key)
         float(m["total_loss"])
         train_ms = (time.perf_counter() - t0) / K * 1000
+
+        # typical COCO step: the loader's GT-capacity bucketing pads ~92%
+        # of B=1 batches to 16 rows, not 100 (data/loader.py::GT_BUCKETS;
+        # matcher serial windows scale with padded rows, PERF.md round 5)
+        GT2 = 16
+        tb16 = dict(tb)
+        tb16["gt_labels"] = tb["gt_labels"][:, :GT2]
+        tb16["gt_boxes"] = tb["gt_boxes"][:, :GT2]
+        tb16["gt_valid"] = tb["gt_valid"][:, :GT2]
+        sb16 = shard_batch(mesh, tb16)
+        state, m = step(state, sb16, key)
+        float(m["total_loss"])  # compile the 16-bucket trace
+        state, m = step(state, sb16, key)
+        float(m["total_loss"])
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, m = step(state, sb16, key)
+        float(m["total_loss"])
+        train16_ms = (time.perf_counter() - t0) / K * 1000
     except Exception:
         import traceback
 
@@ -179,15 +210,23 @@ def main():
             / V5E_PEAK_BF16_FLOPS, 4,
         ) if flops_g else None,
         "train_step_ms_b1_gt100": round(train_ms, 1) if train_ms else None,
+        "train_step_ms_b1_gt16_bucket": (
+            round(train16_ms, 1) if train16_ms else None
+        ),
+        "train_flops_g": round(train_flops_g, 1) if train_flops_g else None,
+        "train_mfu": round(
+            train_flops_g * 1e9 / (train_ms / 1e3) / V5E_PEAK_BF16_FLOPS, 4
+        ) if (train_ms and train_flops_g) else None,
         "model": "relation_detr_resnet50_800_1333 (eval forward at the "
-                 "default settings: separable-A tiled-MXU msda, auto halos "
-                 "+ margin 1 — zero clamped corners at worst-case init "
-                 "offsets across a 6-canvas sweep — decoder prepack, "
-                 "band-grid static-slice patches, fused boxes-in relation "
-                 "bias kernel v4, bf16 A-build on TPU: measured "
-                 "bitwise-equivalent at the dot, since XLA DEFAULT "
-                 "precision rounds f32 MXU operands to bf16 anyway — "
-                 "PERF.md rounds 3e/4)",
+                 "default settings: separable-A tiled-MXU msda, tile "
+                 "(12,8), auto halos + margin 1 — zero clamped corners at "
+                 "worst-case init offsets across a 6-canvas sweep — "
+                 "decoder prepack, band-grid static-slice patches, fused "
+                 "boxes-in relation bias kernel v4, bf16 A-build on TPU: "
+                 "measured bitwise-equivalent at the dot, since XLA "
+                 "DEFAULT precision rounds f32 MXU operands to bf16 "
+                 "anyway; B>1 trace-time batch unroll — PERF.md rounds "
+                 "3e/4/5)",
     }
     print(json.dumps(payload))
 

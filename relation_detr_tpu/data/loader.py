@@ -21,6 +21,17 @@ import numpy as np
 DEFAULT_BUCKETS = ((512, 704), (608, 864), (736, 1024), (800, 1184), (800, 1344), (1344, 800), (1024, 736), (1344, 1344))
 MAX_GT = 100  # COCO max instances/image is 93
 
+# GT-capacity buckets: pad the batch's targets to the smallest bucket that
+# fits its max instance count instead of always MAX_GT. The matcher's
+# scan-over-rows pays one serial while-window per PADDED row and the hybrid
+# branch pads 6x capacity rows, so capacity sets the train step's serial
+# tail: measured 348.6 ms at capacity 100 vs 288.8 at 16 (B=1 flagship,
+# PERF.md round 5), with a matching-free ablation pinning ALL of the gap on
+# the matcher. ~92% of COCO images carry <= 16 boxes, so at the B=1/chip
+# operating point most steps take the small bucket; each bucket is one
+# extra jit trace (persistent-cached).
+GT_BUCKETS = (16, MAX_GT)
+
 
 def aspect_ratio_group_ids(dataset, k: int = 3) -> np.ndarray:
     """Quantize image aspect ratios into 2k+1 log-spaced groups.
@@ -49,6 +60,7 @@ def collate(
     buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS,
     max_gt: int = MAX_GT,
     fixed_canvas: Optional[Tuple[int, int]] = None,
+    gt_buckets: Optional[Sequence[int]] = GT_BUCKETS,
 ) -> Dict[str, np.ndarray]:
     """Pad a list of transformed samples into one static-canvas batch.
 
@@ -64,6 +76,12 @@ def collate(
         canvas_h, canvas_w = fixed_canvas
     else:
         canvas_h, canvas_w = pick_canvas(max_h, max_w, buckets)
+
+    # GT capacity = smallest bucket that fits the batch (see GT_BUCKETS)
+    if gt_buckets:
+        need = max((len(s["boxes"]) for s in samples), default=0)
+        fits = [b for b in gt_buckets if need <= b <= max_gt]
+        max_gt = min(fits) if fits else max_gt
 
     # canvas dtype follows the samples: uint8 when the transform defers
     # normalization to the device (EvalPreset(normalize_host=False))
@@ -172,6 +190,7 @@ class DataLoader:
         aspect_ratio_group_factor: int = -1,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
+        gt_buckets: Optional[Sequence[int]] = GT_BUCKETS,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -180,6 +199,7 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.buckets = buckets
         self.max_gt = max_gt
+        self.gt_buckets = tuple(gt_buckets) if gt_buckets else None
         self.fixed_canvas = fixed_canvas
         self.drop_last = drop_last
         self.prefetch = prefetch
@@ -288,7 +308,8 @@ class DataLoader:
                         pad["image_id"] = -1
                         samples.append(pad)
                     if not safe_put(
-                        collate(samples, self.buckets, self.max_gt, self.fixed_canvas)
+                        collate(samples, self.buckets, self.max_gt,
+                                self.fixed_canvas, self.gt_buckets)
                     ):
                         return
                 safe_put(None)

@@ -130,18 +130,10 @@ _MSDA_DEFAULTS = {
     # HBM; ops/msda_sep_pallas.py) instead of the XLA einsum whose A
     # operand is ~780 MB/layer of HBM traffic
     "tiled_sep_kernel": False,
-    # contract A against the patch slab in a Pallas VMEM kernel that
-    # consumes the slab in its natural (M, C=H*D) layout
-    # (ops/msda_sep_pallas.py::slab_dot), targeting the head-split's
-    # D=32-minor lane padding (~0.67 ms/encoder-layer of reshapes,
-    # hlo_stats round 4). MEASURED LOSER (PERF.md round 4): 46.6 ms
-    # flagship eval fwd vs 42.7 for the XLA einsum — the kernel's 8 tiny
-    # per-head (M,T)x(M,D=32) dots underutilize the MXU (32 of 128 output
-    # lanes) and forfeit XLA's cross-op pipelining; the padding it saves
-    # is cheaper than what it costs. Kept default-OFF with golden tests
-    # as the design record (third data point: XLA's fused A-build+dot
-    # beats hand VMEM kernels for this op).
-    "tiled_slab_kernel": False,
+    # NOTE: a second VMEM-kernel variant ("tiled_slab_kernel" = slab_dot,
+    # A from XLA + per-head contraction in VMEM) was pruned in round 5 per
+    # the one-negative-result policy; its numbers live in PERF.md round 4
+    # (46.6 vs 42.7 ms — 8 tiny per-head dots at 32/128 MXU lanes).
     # cast fp32 MXU-dot operands (the A matrix and the patch slab) to bf16
     # at the einsum boundary, leaving the A-build itself fp32. MEASURED
     # (PERF.md round-3e, flagship on TPU): bitwise identical to the fp32
@@ -167,13 +159,6 @@ def _resolve_tiled_dtype():
     return d
 
 
-def _tiled_slab_kernel_enabled() -> bool:
-    flag = _MSDA_DEFAULTS["tiled_slab_kernel"]
-    if flag == "auto":
-        return jax.default_backend() in ("tpu", "axon")
-    return bool(flag)
-
-
 def _tiled_dot_bf16_enabled() -> bool:
     flag = _MSDA_DEFAULTS["tiled_dot_bf16"]
     if flag == "auto":
@@ -197,7 +182,7 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_layout=None, decoder_prepack=None,
                       tiled_overflow=None, tiled_patch_mode=None,
                       tiled_sep_kernel=None, tiled_dot_bf16=None,
-                      tiled_slab_kernel=None, tiled_slab_order=None,
+                      tiled_slab_order=None,
                       tiled_batch_unroll=None):
     if tiled_slab_order is not None:
         assert tiled_slab_order in ("auto", "yx", "xy", "bm")
@@ -210,10 +195,6 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
         )
     if tiled_sep_kernel is not None:
         _MSDA_DEFAULTS["tiled_sep_kernel"] = bool(tiled_sep_kernel)
-    if tiled_slab_kernel is not None:
-        _MSDA_DEFAULTS["tiled_slab_kernel"] = (
-            "auto" if tiled_slab_kernel == "auto" else bool(tiled_slab_kernel)
-        )
     if tiled_patch_mode is not None:
         _MSDA_DEFAULTS["tiled_patch_mode"] = tiled_patch_mode
     if decoder_prepack is not None:
@@ -268,15 +249,14 @@ def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   dense_level_rows=None, tiled_layout=None,
                   decoder_prepack=None, tiled_overflow=None,
                   tiled_patch_mode=None, tiled_sep_kernel=None,
-                  tiled_dot_bf16=None, tiled_slab_kernel=None,
+                  tiled_dot_bf16=None,
                   tiled_slab_order=None, tiled_batch_unroll=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
                       tiled_layout, decoder_prepack, tiled_overflow,
                       tiled_patch_mode, tiled_sep_kernel, tiled_dot_bf16,
-                      tiled_slab_kernel, tiled_slab_order,
-                      tiled_batch_unroll)
+                      tiled_slab_order, tiled_batch_unroll)
     try:
         yield
     finally:
@@ -832,7 +812,6 @@ def _msda_tiled(
     if slab_order == "auto":
         slab_order = "xy" if bs == 1 else "bm"
     if (use_pallas or t_major or _MSDA_DEFAULTS.get("tiled_sep_kernel")
-            or _tiled_slab_kernel_enabled()
             or _MSDA_DEFAULTS.get("tiled_patch_mode") != "slices"):
         slab_order = "yx"
 
@@ -1151,26 +1130,6 @@ def _msda_tiled(
                 out = out + contrib.reshape(
                     bs, nt, T, num_heads, head_dim
                 )
-            elif _tiled_slab_kernel_enabled():
-                # Pallas slab-dot: the XLA fusion still builds A (it runs at
-                # the HBM roofline), but MERGED over (ph, pw) — expanding
-                # oy/ox via free reshape-of-broadcast makes the
-                # multiply-reduce fusion write (..., M, T) natively — and
-                # the VMEM kernel contracts it against the slab in its
-                # lane-unpadded (M, C) layout (see slab_dot docstring).
-                from relation_detr_tpu.ops.msda_sep_pallas import slab_dot
-
-                oy_c = oy.astype(tiled_dtype)
-                ox_c = ox.astype(tiled_dtype)
-                ry = jnp.broadcast_to(
-                    oy_c[..., :, None, :], oy_c.shape[:4] + (ph, pw, T)
-                ).reshape(bs, nt, num_heads, num_points, ph * pw, T)
-                tx = jnp.broadcast_to(
-                    ox_c[..., None, :, :], ox_c.shape[:4] + (ph, pw, T)
-                ).reshape(bs, nt, num_heads, num_points, ph * pw, T)
-                a = jnp.sum(ry * tx, axis=3)  # (B,nt,H,M,T)
-                a, patch_c = _boundary_cast(a, patch.astype(tiled_dtype))
-                parts.append(slab_dot(a, patch_c))  # (B,nt,T,C) f32
             else:
                 # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products,
                 # fused into the MXU contraction; custom VJP keeps the

@@ -1,20 +1,16 @@
-"""Pallas TPU kernels for the separable tiled-MSDA contraction.
+"""Pallas TPU kernel for the separable tiled-MSDA contraction.
 
-Two kernels live here:
-
-- ``slab_dot`` (round 4): XLA builds A, the kernel contracts it against
-  the lane-unpadded (M, C) patch slab. MEASURED NEGATIVE RESULT
-  (PERF.md round 4): 46.6 ms flagship eval fwd vs 42.7 ms for the XLA
-  separable einsum it replaces — the 8 tiny per-head (M,T)x(M,D=32) dots
-  use 32 of 128 MXU output lanes and forfeit XLA pipelining; kept
-  default-off with golden tests as the design record.
-- ``sep_contract_fused`` (round 3d): fuses the A-BUILD itself into the
-  kernel. MEASURED NEGATIVE RESULT (PERF.md round 3d): 69.3 ms flagship eval fwd vs
-48.4 ms for the XLA separable path it replaces (77.8 ms with tile(16,8)).
-Same lesson as ops/msda_pallas.py in round 3a — XLA's fused A-build +
-contraction beats a hand-scheduled VMEM kernel here. Kept default-OFF
-(`tiled_sep_kernel`) as documentation, with golden tests pinning its
-semantics (tests/test_msda.py::test_msda_sep_kernel_*).
+``sep_contract_fused`` (round 3d) fuses the separable A-BUILD into a VMEM
+kernel so A never touches HBM. MEASURED NEGATIVE RESULT (PERF.md round 3d):
+69.3 ms flagship eval fwd vs 48.4 ms for the XLA separable path it replaces
+(77.8 ms with tile(16,8)). Same lesson as ops/msda_pallas.py in round 3a —
+XLA's fused A-build + contraction beats a hand-scheduled VMEM kernel here.
+Kept default-OFF (`tiled_sep_kernel`) as THE one design record for the
+"build A in VMEM" family, with golden tests pinning its semantics
+(tests/test_msda.py::test_msda_sep_kernel_*). A second variant — `slab_dot`
+(round 4: A from XLA, per-head contraction in VMEM; 46.6 vs 42.7 ms, 8 tiny
+per-head dots using 32/128 MXU lanes) — was pruned in round 5 per the
+one-negative-result policy; see PERF.md round 4 for its numbers.
 
 Context (PERF.md round 3b/3d): the tiled encoder MSDA is
 ``out = A @ patch`` per (tile, level); the separable build composes A from
@@ -160,83 +156,3 @@ def _fused_bwd(res, g):
 
 
 sep_contract_fused.defvjp(_fused_fwd, _fused_bwd)
-
-
-# ---------------------------------------------------------------------------
-# slab_dot: A-from-XLA, slab-unpadded per-head contraction (round 4)
-#
-# The round-3d kernel above lost because it rebuilt A on the VPU inside the
-# kernel (f32 repeats/broadcasts serialized against the MXU). This one keeps
-# the XLA separable A-build — measured at the HBM roofline — and moves ONLY
-# the contraction into VMEM so the patch slab is consumed in its natural
-# (M, C=H*D) layout. The XLA einsum needed the slab head-split to
-# (..., ph, pw, H, D), whose D=32-minor layout lane-pads 32->128: a 4x
-# physical copy (hlo_stats round 4: ~0.67 ms/encoder-layer of reshapes at
-# 200-300 GiB/s) plus 4x-padded dot reads. In-kernel the head split is a
-# free 32-lane slice of VMEM, and the output comes out token-major (T, C)
-# so the per-level accumulate + final untile need no transpose at all.
-# ---------------------------------------------------------------------------
-
-
-def _slab_kernel(a_ref, patch_ref, out_ref, *, num_heads, head_dim):
-    patch = patch_ref[0, 0]  # (M, C)
-    outs = []
-    for h in range(num_heads):
-        a_h = a_ref[0, 0, h]  # (M, T)
-        p_h = patch[:, h * head_dim:(h + 1) * head_dim]  # (M, D)
-        outs.append(_dot_t(a_h, p_h))  # (T, D) f32
-    out_ref[0, 0] = jnp.concatenate(outs, axis=1)  # (T, C)
-
-
-@jax.custom_vjp
-def slab_dot(a, patch):
-    """out(B,NT,T,C) = per-(b,tile,head) A_h(M,T)^T @ patch[:, h*D:(h+1)*D].
-
-    a (B,NT,H,M,T), patch (B,NT,M,C) — the same contraction as
-    ops/msda.py::_sep_contract given A = sum_p oy_p (x) ox_p, but the slab
-    operand stays lane-unpadded (C=256 minor) and the output is token-major.
-    """
-    b, nt, num_heads, m, t = a.shape
-    c = patch.shape[3]
-    kernel = functools.partial(
-        _slab_kernel, num_heads=num_heads, head_dim=c // num_heads
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1, num_heads, m, t), lambda i, j: (i, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, m, c), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, t, c), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nt, t, c), jnp.float32),
-        interpret=_use_interpret(),
-    )(a, patch)
-
-
-def _slab_fwd(a, patch):
-    return slab_dot(a, patch), (a, patch)
-
-
-def _slab_bwd(res, g):
-    # XLA einsums, same shapes as the forward operands (g is (B,NT,T,C))
-    a, patch = res
-    b, nt, num_heads, m, t = a.shape
-    head_dim = patch.shape[3] // num_heads
-    g5 = jnp.transpose(
-        g.reshape(b, nt, t, num_heads, head_dim), (0, 1, 3, 2, 4)
-    )  # (B,NT,H,T,D)
-    pm = patch.reshape(b, nt, m, num_heads, head_dim)
-    da = jnp.einsum(
-        "bnhtd,bnmhd->bnhmt", g5, pm, preferred_element_type=jnp.float32
-    )
-    d_patch = jnp.einsum(
-        "bnhmt,bnhtd->bnmhd", a, g5, preferred_element_type=jnp.float32
-    ).reshape(b, nt, m, num_heads * head_dim)
-    return da.astype(a.dtype), d_patch.astype(patch.dtype)
-
-
-slab_dot.defvjp(_slab_fwd, _slab_bwd)

@@ -48,6 +48,37 @@ def test_collate_static_shapes_and_normalization():
     assert (batch["gt_boxes"][valid] >= 0).all() and (batch["gt_boxes"][valid] <= 1).all()
 
 
+def test_collate_gt_capacity_buckets():
+    """GT-capacity bucketing (PERF.md round 5): the batch pads to the
+    smallest bucket that fits its max instance count — the matcher's serial
+    windows scale with PADDED rows, so small-GT batches (~92% of COCO at
+    B=1) run the cheap trace. No boxes are ever dropped by bucketing."""
+    ds = FakeDataset()
+
+    def with_n_boxes(sample, n):
+        s = dict(sample)
+        s["boxes"] = np.tile(
+            np.asarray([[10.0, 10.0, 60.0, 60.0]], np.float32), (n, 1))
+        s["labels"] = np.full((n,), 3, np.int64)
+        return s
+
+    few = with_n_boxes(ds[0], 2)
+    b = collate([few], fixed_canvas=(512, 704), gt_buckets=(16, 100))
+    assert b["gt_boxes"].shape == (1, 16, 4)
+    assert b["gt_valid"].sum() == 2
+    many = with_n_boxes(ds[1], 40)
+    b = collate([few, many], fixed_canvas=(512, 704), gt_buckets=(16, 100))
+    assert b["gt_boxes"].shape == (2, 100, 4)
+    assert b["gt_valid"][1].sum() == 40  # nothing dropped
+    # buckets above max_gt never apply; no bucket fits -> plain max_gt pad
+    b = collate([many], fixed_canvas=(512, 704), max_gt=8,
+                gt_buckets=(16, 100))
+    assert b["gt_boxes"].shape == (1, 8, 4)
+    # disabled -> always max_gt
+    b = collate([few], fixed_canvas=(512, 704), gt_buckets=None)
+    assert b["gt_boxes"].shape == (1, 100, 4)
+
+
 def test_loader_iterates_all_batches():
     ds = FakeDataset(10)
     loader = DataLoader(ds, batch_size=4, shuffle=True, fixed_canvas=(512, 704), max_gt=8)

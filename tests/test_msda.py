@@ -567,75 +567,21 @@ def test_msda_sep_kernel_matches_torch_oracle():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
-def test_msda_slab_kernel_matches_xla_separable():
-    """slab_dot (ops/msda_sep_pallas.py, measured-negative opt-in: A from
-    XLA, the contraction against the lane-unpadded (M, C) slab in VMEM)
-    must match the XLA separable path bitwise-close, forward and gradients
-    (its custom VJP is the same A-sized einsum math); interpret mode on
-    CPU."""
-    from relation_detr_tpu.ops.msda import msda_defaults
-
-    value, shapes, locs, attn = make_encoder_inputs(11, bs=1, num_heads=2)
-    args = (jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
-
-    def loss(v, l, a):
-        return jnp.sum(
-            multi_scale_deformable_attention(v, shapes, l, a, impl="tiled_xla")
-            ** 2
-        )
-
-    with msda_defaults(tiled_slab_kernel=False):
-        ref = multi_scale_deformable_attention(*((args[0], shapes) + args[1:]),
-                                               impl="tiled_xla")
-        g_ref = jax.grad(loss, argnums=(0, 1, 2))(*args)
-    with msda_defaults(tiled_slab_kernel=True):
-        ker = multi_scale_deformable_attention(*((args[0], shapes) + args[1:]),
-                                               impl="tiled_xla")
-        g_ker = jax.grad(loss, argnums=(0, 1, 2))(*args)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(ker),
-                               rtol=1e-5, atol=1e-6)
-    for a, b in zip(g_ref, g_ker):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
-
-
-def test_msda_slab_kernel_matches_torch_oracle():
-    """slab_dot path vs the torch grid_sample oracle in the exactness regime
-    — same bar as the XLA tiled path."""
-    import torch
-
-    from relation_detr_tpu.ops.msda import msda_defaults
-
-    value, shapes, locs, attn = make_encoder_inputs(12)
-    with msda_defaults(tiled_slab_kernel=True):
-        ours = np.asarray(
-            multi_scale_deformable_attention(
-                jnp.asarray(value), shapes, jnp.asarray(locs),
-                jnp.asarray(attn), impl="tiled_xla",
-            )
-        )
-    ref = torch_msda_oracle(
-        torch.from_numpy(value), shapes,
-        torch.from_numpy(locs), torch.from_numpy(attn),
-    ).numpy()
-    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
-
-
-def test_msda_slab_kernel_overflow_residual_exact():
-    """slab kernel + overflow side channel: out-of-halo corners stay exact
-    (the residual joins the token-major accumulate). Capacity 128 covers all
-    overflowing corners at these tight halos/offsets with margin — seed 13
-    overflows more than 64 entries in some (tile, head, level), so the old
-    64 passed only because the token-order selection happened to drop
-    near-zero-weight strays (found while A/B-ing a top_k compaction,
-    round 5)."""
+def test_msda_tiled_overflow_tight_halos_exact():
+    """Overflow side channel at VERY tight halos (2,2,1,1): out-of-halo
+    corners stay exact given enough capacity. Capacity 128 covers all
+    overflowing corners at these halos/offsets with margin — seed 13
+    overflows more than 64 entries in some (tile, head, level), so a
+    64-capacity version passed only because the token-order selection
+    happened to drop near-zero-weight strays (found while A/B-ing a top_k
+    compaction, round 5; the slab_dot kernel this case originally rode on
+    was pruned as a measured-negative, PERF.md rounds 4-5)."""
     import torch
 
     from relation_detr_tpu.ops.msda import msda_defaults
 
     value, shapes, locs, attn = make_encoder_inputs(13)
-    with msda_defaults(tiled_slab_kernel=True, tiled_halos=(2, 2, 1, 1),
-                       tiled_overflow=128):
+    with msda_defaults(tiled_halos=(2, 2, 1, 1), tiled_overflow=128):
         ours = np.asarray(
             multi_scale_deformable_attention(
                 jnp.asarray(value), shapes, jnp.asarray(locs),
