@@ -145,6 +145,16 @@ _MSDA_DEFAULTS = {
     # hardware that "fp32" operands never reached the MXU at full
     # precision. "auto" = on for TPU-class backends.
     "tiled_dot_bf16": False,
+    # EVAL-ONLY experiment (PERF.md round 5, the last untried bytes lever):
+    # store the per-level patch slab as int8 with a per-channel absmax
+    # scale. The per-channel dequant commutes with the A @ patch token
+    # contraction, so the scale is applied ONCE to each level's (tiny)
+    # contraction output instead of to the slab — the slab buffer and its
+    # dot-layout copies move half the bytes of bf16. Quantization error
+    # ~amax/254 per channel (beyond the bf16 accuracy class): opt-in,
+    # never a default. FORWARD ONLY — jnp.round carries zero gradient, so
+    # a train step with this flag would silently drop value grads.
+    "tiled_int8_slab": False,
 }
 
 
@@ -183,7 +193,9 @@ def set_msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                       tiled_overflow=None, tiled_patch_mode=None,
                       tiled_sep_kernel=None, tiled_dot_bf16=None,
                       tiled_slab_order=None,
-                      tiled_batch_unroll=None):
+                      tiled_batch_unroll=None, tiled_int8_slab=None):
+    if tiled_int8_slab is not None:
+        _MSDA_DEFAULTS["tiled_int8_slab"] = bool(tiled_int8_slab)
     if tiled_slab_order is not None:
         assert tiled_slab_order in ("auto", "yx", "xy", "bm")
         _MSDA_DEFAULTS["tiled_slab_order"] = tiled_slab_order
@@ -241,6 +253,8 @@ def apply_msda_cli_flags(args) -> None:
                 "auto": "auto",
             }[args.msda_dtype]
         )
+    if getattr(args, "msda_int8_slab", False):
+        set_msda_defaults(tiled_int8_slab=True)
 
 
 @contextlib.contextmanager
@@ -250,13 +264,14 @@ def msda_defaults(impl: str = None, gather_dtype=None, tiled_dtype=None,
                   decoder_prepack=None, tiled_overflow=None,
                   tiled_patch_mode=None, tiled_sep_kernel=None,
                   tiled_dot_bf16=None,
-                  tiled_slab_order=None, tiled_batch_unroll=None):
+                  tiled_slab_order=None, tiled_batch_unroll=None,
+                  tiled_int8_slab=None):
     saved = dict(_MSDA_DEFAULTS)
     set_msda_defaults(impl, gather_dtype, tiled_dtype, tiled_halos,
                       tiled_tile_tokens, tiled_margin, dense_level_rows,
                       tiled_layout, decoder_prepack, tiled_overflow,
                       tiled_patch_mode, tiled_sep_kernel, tiled_dot_bf16,
-                      tiled_slab_order, tiled_batch_unroll)
+                      tiled_slab_order, tiled_batch_unroll, tiled_int8_slab)
     try:
         yield
     finally:
@@ -401,10 +416,18 @@ def multi_scale_deformable_attention(
         else:
             impl = "tiled" if impl == "auto_pallas" else "tiled_xla"
     if impl in ("tiled", "tiled_xla"):
-        return _msda_tiled(
-            value, spatial_shapes, sampling_locations, attention_weights,
-            gather_dtype, use_pallas=impl == "tiled",
-        )
+        # a forced tiled impl can only serve the encoder layout (Q == S in
+        # raster order); other call sites in the same model (decoder,
+        # two-stage head) route to corner_pack instead of asserting, so
+        # --msda-impl tiled_xla is usable on a full detector
+        _, total = _level_start_indices(spatial_shapes)
+        if sampling_locations.shape[1] != total:
+            impl = "corner_pack"
+        else:
+            return _msda_tiled(
+                value, spatial_shapes, sampling_locations, attention_weights,
+                gather_dtype, use_pallas=impl == "tiled",
+            )
     if impl == "pair":
         return _msda_pair_gather(
             value, spatial_shapes, sampling_locations, attention_weights, gather_dtype
@@ -815,6 +838,17 @@ def _msda_tiled(
             or _MSDA_DEFAULTS.get("tiled_patch_mode") != "slices"):
         slab_order = "yx"
 
+    # int8 slab (eval-only opt-in, see _MSDA_DEFAULTS["tiled_int8_slab"]):
+    # only the default separable slices branch supports the per-channel
+    # dequant-after-dot trick; the overflow side channel's difference form
+    # reads unquantized values and would break exactness.
+    int8_slab = (
+        _MSDA_DEFAULTS.get("tiled_int8_slab", False)
+        and not use_pallas and not t_major
+        and not _MSDA_DEFAULTS.get("tiled_sep_kernel")
+        and _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices"
+        and overflow_k == 0
+    )
     vflat = value.astype(gather_dtype).reshape(bs, total, num_heads * head_dim)
     out = jnp.zeros((bs, nt, T, num_heads, head_dim), jnp.float32)
     # default separable branch: per-level (B,nt,H,D,T) pieces, summed in ONE
@@ -828,15 +862,29 @@ def _msda_tiled(
         vl = vl.reshape(bs, h, w, num_heads * head_dim)
         # one static-index gather of nt contiguous (Ph, Pw, C) slabs
         starts_np = jnp.asarray(np.stack([y0s, x0s], axis=1))  # (nt, 2)
+        lvl_scale = None
         if _MSDA_DEFAULTS.get("tiled_patch_mode") == "slices":
             # cast to the contraction dtype BEFORE extraction: rounding
             # commutes with slicing, so this is bitwise-identical to the
             # post-extraction cast while the slice windows move half
             # the bytes and the separate convert/copy passes disappear
             y0u, x0u = geo.patch_grid[lvl]
-            patch = _slice_patches(
-                vl.astype(tiled_dtype), y0u, x0u, ph, pw, slab_order
-            )
+            if int8_slab:
+                # per-channel absmax int8: quantize the LEVEL MAP once so
+                # the slice windows and the slab buffer move 1-byte
+                # elements; the scale is applied to the per-level
+                # contraction output below (dequant commutes with the
+                # token-dim dot). jnp.round has zero gradient — eval only.
+                amax = jnp.max(jnp.abs(vl), axis=(0, 1, 2))
+                lvl_scale = jnp.maximum(amax, 1e-12) / 127.0  # (C,)
+                q = jnp.clip(
+                    jnp.round(vl / lvl_scale), -127.0, 127.0
+                ).astype(jnp.int8)
+                patch = _slice_patches(q, y0u, x0u, ph, pw, slab_order)
+            else:
+                patch = _slice_patches(
+                    vl.astype(tiled_dtype), y0u, x0u, ph, pw, slab_order
+                )
             if slab_order == "yx":
                 patch = patch.reshape(bs, nt, ph * pw, num_heads * head_dim)
         elif bs == 1:
@@ -1134,12 +1182,15 @@ def _msda_tiled(
                 # A (B,nt,H,ph,pw,T) = sum of P rank-1 outer products,
                 # fused into the MXU contraction; custom VJP keeps the
                 # backward at A-sized einsums (see _sep_contract)
+                # astype is a no-op when patch already carries tiled_dtype
+                # (non-yx orders); for the int8 slab it is the dot-operand
+                # convert XLA fuses into the contraction's slab read
                 if slab_order == "yx":
                     patch6 = patch.astype(tiled_dtype).reshape(
                         bs, nt, ph, pw, num_heads, head_dim
                     )
-                else:  # already tiled_dtype; head-split is a free reshape
-                    patch6 = patch.reshape(
+                else:  # head-split is a free reshape
+                    patch6 = patch.astype(tiled_dtype).reshape(
                         patch.shape[:-1] + (num_heads, head_dim)
                     )
                 contrib = _sep_contract(
@@ -1148,6 +1199,13 @@ def _msda_tiled(
                     patch6,
                     slab_order,
                 )
+                if lvl_scale is not None:
+                    # per-channel dequant on the contraction OUTPUT: the
+                    # scale is constant over the contracted token dim, so
+                    # this equals dequantizing the slab, at output bytes
+                    contrib = contrib * lvl_scale.reshape(
+                        num_heads, head_dim, 1
+                    )
                 parts.append(contrib)  # (B,nt,H,D,T)
         if residual is not None:  # (B,nt,H,T,D)
             if parts and parts[0].ndim == 4:  # token-major (B,nt,T,C)

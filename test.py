@@ -61,6 +61,14 @@ def parse_args():
                         "measured bitwise-identical, PERF.md round 3e — so "
                         "bf16 only halves A traffic; fp32 forces a "
                         "fp32-built A for calibration)")
+    p.add_argument("--msda-int8-slab", action="store_true",
+                   help="store the tiled encoder's patch slab int8 with "
+                        "per-channel scales (dequant fused after the MXU "
+                        "dot): 36.5 vs 39.3 ms/img default, 31.9 ms with "
+                        "the fast profile (PERF.md round 5). Quantization "
+                        "error ~amax/254 per value channel — beyond the "
+                        "bitwise-proven bf16 class, so OFF by default; "
+                        "validate mAP on your eval set before shipping")
     p.add_argument("--clamp-check", default="auto", choices=("auto", "on", "off"),
                    help="measure the checkpoint's tiled-MSDA clamp fraction "
                         "on the first batch at load time (auto = when the "

@@ -166,3 +166,43 @@ def test_bf16_mixed_precision_policy(batch):
     leaves = jax.tree.leaves(grads)
     assert all(g.dtype == jnp.float32 for g in leaves)
     assert all(bool(jnp.isfinite(g).all()) for g in leaves)
+
+
+def test_int8_slab_detector_drift(batch):
+    """--msda-int8-slab (eval-only opt-in, PERF.md round 5): detector-level
+    quantization drift stays in the bf16-policy tolerance class. Same
+    robust-set comparisons as the bf16 test: the two-stage top-k can swap
+    proposal order under rounding, so slot-wise comparison is ill-posed."""
+    from relation_detr_tpu.ops.msda import msda_defaults
+
+    kwargs = dict(
+        num_classes=10, num_queries=30, hybrid_num_proposals=40,
+        denoising_nums=4, transformer_enc_layers=1, transformer_dec_layers=2,
+        backbone_arch="resnet18",
+    )
+    model = RelationDETR(**kwargs)
+    variables = model.init(
+        {"params": jax.random.key(0), "denoising": jax.random.key(1)},
+        batch["images"], batch["mask"], batch["gt_labels"], batch["gt_boxes"],
+        batch["gt_valid"], train=True,
+    )
+    # force the tiled encoder path on CPU (auto dispatch routes off-TPU
+    # traffic to corner_pack, which ignores the slab flag)
+    with msda_defaults(impl="tiled_xla"):
+        base = jax.jit(lambda v: model.apply(
+            v, batch["images"], batch["mask"], train=False))(variables)
+        base = jax.tree.map(np.asarray, base)
+    with msda_defaults(impl="tiled_xla", tiled_int8_slab=True):
+        q8 = jax.jit(lambda v: model.apply(
+            v, batch["images"], batch["mask"], train=False))(variables)
+        q8 = jax.tree.map(np.asarray, q8)
+
+    lq, lb = q8["pred_logits"], base["pred_logits"]
+    assert np.isfinite(lq).all()
+    assert np.median(np.abs(lq - lb)) < 0.05
+    np.testing.assert_allclose(
+        np.sort(lq.reshape(-1))[-50:], np.sort(lb.reshape(-1))[-50:], atol=0.3
+    )
+    bq, bb = q8["pred_boxes"][0], base["pred_boxes"][0]
+    d = np.abs(bq[:, None, :] - bb[None, :, :]).max(-1)
+    assert float(np.median(d.min(1))) < 0.02

@@ -593,3 +593,37 @@ def test_msda_tiled_overflow_tight_halos_exact():
         torch.from_numpy(locs), torch.from_numpy(attn),
     ).numpy()
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_tiled_int8_slab_matches_dequant_oracle():
+    """int8 patch slab (eval-only opt-in, PERF.md round 5): the per-channel
+    dequant is applied to the per-level contraction OUTPUT, which must
+    exactly equal running the fp32 tiled path on the quantize-dequantized
+    value (the scale is constant along the contracted token dim). Also
+    bounds the quantization error vs the unquantized path."""
+    from relation_detr_tpu.ops.msda import msda_defaults
+
+    value, shapes, locs, attn = make_encoder_inputs(5)
+    args = (jnp.asarray(value), shapes, jnp.asarray(locs), jnp.asarray(attn))
+    with msda_defaults(impl="tiled_xla", tiled_int8_slab=True):
+        q8 = np.asarray(multi_scale_deformable_attention(*args))
+
+    # dequant oracle: quantize per level per channel on the host, then run
+    # the standard fp32 tiled path
+    bs, total, num_heads, head_dim = value.shape
+    vq = value.reshape(bs, total, num_heads * head_dim).copy()
+    start = 0
+    for h, w in shapes:
+        seg = vq[:, start:start + h * w]
+        amax = np.abs(seg).max(axis=(0, 1))
+        s = np.maximum(amax, 1e-12) / 127.0
+        vq[:, start:start + h * w] = np.clip(np.round(seg / s), -127, 127) * s
+        start += h * w
+    with msda_defaults(impl="tiled_xla"):
+        oracle = np.asarray(multi_scale_deformable_attention(
+            jnp.asarray(vq.reshape(value.shape)), shapes,
+            jnp.asarray(locs), jnp.asarray(attn)))
+        base = np.asarray(multi_scale_deformable_attention(*args))
+    np.testing.assert_allclose(q8, oracle, rtol=1e-5, atol=2e-5)
+    err = np.abs(q8 - base).max()
+    assert 0 < err < 0.05, err  # quantization bites, but stays bounded
