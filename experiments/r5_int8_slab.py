@@ -76,3 +76,27 @@ if "int8fast" in which:
     # the int8 store then halves again
     timed("int8 slab + fast halos of0", tiled_int8_slab=True,
           tiled_halos=(4, 3, 2, 2), tiled_overflow=0)
+
+if "b4" in which:
+    # B=4: the regression's root cause was slab layout copies (~10 ms/img,
+    # PERF.md round 5) — the int8 slab halves exactly those bytes
+    images4 = jnp.asarray(
+        np.random.RandomState(1).randn(4, H, W, 3).astype(np.float32))
+    mask4 = jnp.zeros((4, H, W), bool)
+    with msda_defaults(tiled_int8_slab=True, tiled_batch_unroll=True):
+        fwd = jax.jit(lambda v, x, m: jnp.sum(
+            model.apply(v, x, m, train=False)["pred_logits"]))
+        t0 = time.perf_counter()
+        r0 = float(fwd(variables, images4, mask4))
+        compile_s = time.perf_counter() - t0
+        float(fwd(variables, images4, mask4))
+        K = 10
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(K):
+            out = fwd(variables, images4, mask4)
+        float(out)
+        per = (time.perf_counter() - t0) / K
+    print(json.dumps({"tag": "int8 slab B=4 unrolled", "ms": round(per*1000, 2),
+                      "img_s": round(4/per, 2), "compile_s": round(compile_s, 1),
+                      "probe": r0}), flush=True)
